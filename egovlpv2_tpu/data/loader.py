@@ -1,0 +1,174 @@
+"""Host-side batching / tokenization / device-feed pipeline.
+
+TPU-native replacement for the reference's torch DataLoader +
+DistributedSampler stack (`base/base_data_loader.py`,
+`data_loader/data_loader.py`): a process-pool map over dataset indices with
+per-epoch host sharding, a tokenizer adapter, and an async prefetcher that
+overlaps host decode with device compute (double-buffering into HBM).
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class HostShardSampler:
+    """Deterministic per-epoch shuffling + host sharding.
+
+    Equivalent of torch DistributedSampler(set_epoch) (`base_data_loader.py:130`,
+    `trainer_egoclip.py:104`): every host sees a disjoint 1/num_hosts slice of
+    a seed+epoch-keyed permutation, padded to equal length.
+    """
+
+    def __init__(self, length: int, num_hosts: int = 1, host_id: int = 0,
+                 shuffle: bool = True, seed: int = 0):
+        self.length = length
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.length)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idx)
+        per_host = -(-self.length // self.num_hosts)
+        pad = per_host * self.num_hosts - self.length
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        return idx[self.host_id::self.num_hosts]
+
+
+def default_collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals  # e.g. raw caption strings
+    return out
+
+
+class Tokenizer:
+    """Thin adapter over a HF tokenizer; avoids network when offline.
+
+    The pretrain recipe tokenizes with roberta-base at max_length 15
+    (`trainer_egoclip.py:120`); fine-tunes use 30 (`trainer_epic.py:134`).
+    """
+
+    def __init__(self, name_or_path: str = "roberta-base", max_len: int = 15):
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(name_or_path)
+        self.max_len = max_len
+
+    def __call__(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
+        enc = self._tok(
+            list(texts), padding="max_length", truncation=True,
+            max_length=self.max_len, return_tensors="np",
+        )
+        return {
+            "text_ids": enc["input_ids"].astype(np.int32),
+            "text_mask": enc["attention_mask"].astype(np.int32),
+        }
+
+
+class DataLoader:
+    """Threaded prefetch loader: dataset[i] -> collate -> (optional) post_fn.
+
+    Threads (not processes) because the decode workload releases the GIL in
+    cv2/ffmpeg; a C++ decode service is the planned upgrade path.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler: Optional[HostShardSampler] = None,
+        num_workers: int = 4,
+        collate: Callable = default_collate,
+        post_fn: Optional[Callable] = None,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or HostShardSampler(len(dataset), shuffle=False)
+        self.num_workers = max(num_workers, 1)
+        self.collate = collate
+        self.post_fn = post_fn
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.sampler.indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        idx = self.sampler.indices(epoch)
+        n_batches = len(self)
+        batches = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[int(i)] for i in batch_idx]
+                    batch = self.collate(items)
+                    if self.post_fn is not None:
+                        batch = self.post_fn(batch)
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
+def pretrain_post_fn(tokenizer: Tokenizer, mlm_prob: float = 0.15, seed: int = 0):
+    """Tokenize (incl. scene negatives concat, trainer_egoclip.py:112-116)
+    and apply MLM masking."""
+    from egovlpv2_tpu.data.mlm import mask_tokens
+
+    rng = np.random.default_rng(seed)
+
+    def post(batch: Dict[str, Any]) -> Dict[str, Any]:
+        texts = list(batch.pop("text"))
+        out = dict(batch)
+        if "text_neg" in batch:
+            # concat scene negatives along batch (doubles effective batch)
+            texts = texts + list(out.pop("text_neg"))
+            out["video"] = np.concatenate([out["video"], out.pop("video_neg")])
+            out["noun_vec"] = np.concatenate([out["noun_vec"], out.pop("noun_vec_neg")])
+            out["verb_vec"] = np.concatenate([out["verb_vec"], out.pop("verb_vec_neg")])
+        tok = tokenizer(texts)
+        out.update(tok)
+        mlm_ids, mlm_labels = mask_tokens(tok["text_ids"], rng, mlm_prob)
+        out["text_mlm_ids"] = mlm_ids.astype(np.int32)
+        out["text_mlm_labels"] = mlm_labels.astype(np.int32)
+        return out
+
+    return post

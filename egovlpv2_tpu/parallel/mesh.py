@@ -1,0 +1,98 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL process-per-GPU runtime
+(`multinode_train_egoclip.py:63-99`, `trainer_egoclip.py:25-41`): we write
+global-batch math, shard the batch over the 'data' mesh axis, optionally
+shard the big projection / vocab matmuls over 'model', and let the GSPMD
+partitioner insert the ICI collectives (the differentiable all_gather the
+reference hand-implements falls out of autodiff + sharding automatically).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Tuple[int, ...] = (-1, 1),
+    axes: Tuple[str, ...] = ("data", "model"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    shape = list(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = n // known
+    need = int(np.prod(shape))
+    if need > n:
+        raise ValueError(f"mesh shape {shape} needs {need} devices, have {n}")
+    dev_array = np.asarray(devices[:need]).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for every array in the batch pytree."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+# Megatron-style tensor-parallel rules for the big matmuls, applied by regex
+# over '.'-joined param paths. Everything unmatched is replicated. GSPMD keeps
+# the math exact regardless; these rules only steer collective placement.
+MODEL_PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
+    # 3-layer contrastive projections (768->4096->4096->4096)
+    (r".*(txt|vid)_proj\.fc0\.kernel", P(None, "model")),
+    (r".*(txt|vid)_proj\.fc1\.kernel", P("model", None)),
+    (r".*(txt|vid)_proj\.fc2\.kernel", P(None, "model")),
+    # MLM vocab decoder (768 x 50265) — the single biggest matrix
+    (r".*mlm_score\.decoder\.kernel", P(None, "model")),
+    # transformer MLPs
+    (r".*\.mlp\.fc1\.kernel", P(None, "model")),
+    (r".*\.mlp\.fc2\.kernel", P("model", None)),
+    (r".*\.intermediate\.kernel", P(None, "model")),
+    (r".*layer_\d+\.output\.kernel", P("model", None)),
+    # attention projections
+    (r".*\.qkv\.kernel", P(None, "model")),
+    (r".*\.attn\.proj\.kernel", P("model", None)),
+    (r".*attention\.(query|key|value)\.kernel", P(None, "model")),
+    (r".*attention\.out_dense\.kernel", P("model", None)),
+)
+
+
+def param_sharding(params, mesh: Mesh):
+    """NamedSharding tree for the param pytree via MODEL_PARTITION_RULES."""
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        name = ".".join(path)
+        spec = P()
+        if mesh.shape.get("model", 1) > 1:
+            for pat, candidate in MODEL_PARTITION_RULES:
+                if re.fullmatch(pat, name):
+                    # only shard if the dimension divides evenly
+                    ok = all(
+                        ax is None
+                        or leaf.shape[i] % mesh.shape[ax] == 0
+                        for i, ax in enumerate(candidate)
+                    )
+                    if ok:
+                        spec = candidate
+                    break
+        out[path] = NamedSharding(mesh, spec)
+    return traverse_util.unflatten_dict(out)
+
+
+def shard_params(params, mesh: Mesh):
+    sh = param_sharding(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)

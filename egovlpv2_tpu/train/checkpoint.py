@@ -1,0 +1,62 @@
+"""Orbax checkpoint save/restore for TrainState.
+
+TPU-native replacement for the reference's torch .pth checkpointing
+(`base/base_trainer.py:390-495`): async orbax saves with retention, a
+'best' pointer, and preemption-safe periodic checkpoints (replaces the
+SLURM SIGUSR1 requeue flow, `multinode_train_egoclip.py:56-61`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+
+    def save(self, step: int, state, metrics: Optional[dict] = None,
+             is_best: bool = False):
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
+        if metrics is not None:
+            with open(os.path.join(self._dir, f"metrics_{step}.json"), "w") as f:
+                json.dump({k: float(v) for k, v in metrics.items()}, f)
+        if is_best:
+            with open(os.path.join(self._dir, "best_step.json"), "w") as f:
+                json.dump({"step": int(step)}, f)
+
+    def restore(self, state_template, step: Optional[int] = None):
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    def best_step(self) -> Optional[int]:
+        path = os.path.join(self._dir, "best_step.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["step"]
+        return None
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.close()

@@ -1,0 +1,103 @@
+"""Samplers, transforms, loader sharding — host-side, no jit."""
+
+import numpy as np
+
+from egovlpv2_tpu.data.loader import DataLoader, HostShardSampler, default_collate
+from egovlpv2_tpu.data.sampling import (
+    sample_frames,
+    sample_frames_clips,
+    sample_frames_start_end,
+)
+from egovlpv2_tpu.data.transforms import (
+    center_crop,
+    eval_transform,
+    normalize,
+    resize_short_side,
+    train_transform,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+
+def test_sample_frames_uniform_midpoints():
+    # vlen 100, 4 frames -> intervals [0,25),[25,50),[50,75),[75,100)
+    idxs = sample_frames(4, 100, sample="uniform")
+    assert list(map(int, idxs)) == [12, 37, 62, 87]  # (lo + hi) // 2, hi = next-1
+
+
+def test_sample_frames_rand_within_intervals():
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        idxs = sample_frames(4, 100, sample="rand", rng=rng)
+        pts = np.linspace(0, 100, 5).astype(int)
+        for i, idx in enumerate(idxs):
+            assert pts[i] <= idx < pts[i + 1]
+
+
+def test_sample_frames_fewer_than_requested():
+    idxs = sample_frames(8, 3, sample="uniform")
+    assert len(idxs) == 3  # acc_samples = min(num_frames, vlen)
+
+
+def test_sample_start_end():
+    idxs = sample_frames_start_end(4, 30, 90, sample="uniform")
+    assert len(idxs) == 4
+    assert all(30 <= i < 90 for i in idxs)
+
+
+def test_sample_clips_midpoints():
+    idxs = sample_frames_clips(0, 100, 120, 4)
+    assert len(idxs) == 4
+    assert all(0 <= i < 100 for i in idxs)
+
+
+def test_resize_and_crop_shapes():
+    clip = np.random.default_rng(0).random((2, 120, 160, 3)).astype(np.float32)
+    r = resize_short_side(clip, 64)
+    assert r.shape == (2, 64, 85, 3)  # short side 64, aspect kept
+    c = center_crop(r, 64)
+    assert c.shape == (2, 64, 64, 3)
+
+
+def test_eval_transform_is_deterministic_and_normalized():
+    clip = np.full((2, 100, 140, 3), 0.5, np.float32)
+    a = eval_transform(clip, size=32, intermediate=48)
+    b = eval_transform(clip, size=32, intermediate=48)
+    np.testing.assert_array_equal(a, b)
+    expected = (0.5 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(a[0, 0, 0], expected, rtol=1e-5)
+
+
+def test_train_transform_shape_and_flip():
+    rng = np.random.default_rng(0)
+    clip = np.random.default_rng(1).random((3, 100, 140, 3)).astype(np.float32)
+    out = train_transform(clip, rng, size=32)
+    assert out.shape == (3, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_host_shard_sampler_partitions():
+    shards = [HostShardSampler(103, num_hosts=4, host_id=h, seed=3).indices(7)
+              for h in range(4)]
+    lens = {len(s) for s in shards}
+    assert len(lens) == 1  # equal length (padded)
+    all_idx = np.concatenate(shards)
+    assert set(all_idx.tolist()) == set(range(103))
+    # different epoch -> different permutation
+    other = HostShardSampler(103, num_hosts=4, host_id=0, seed=3).indices(8)
+    assert not np.array_equal(shards[0], other)
+
+
+def test_loader_batches():
+    class Toy:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32), "label": i}
+
+    dl = DataLoader(Toy(), batch_size=4, num_workers=1)
+    batches = list(dl.epoch(0))
+    assert len(batches) == 2  # drop_last
+    assert batches[0]["x"].shape == (4, 2)
+    assert batches[0]["label"].shape == (4,)
