@@ -1,0 +1,149 @@
+"""Dense clip feature extraction for the EgoMQ / EgoNLQ / QFVS heads.
+
+Capability-parity targets:
+  * `EgoVLPv2/test_mq.py:25-86` — chunk a clip into `num_frames`-frame
+    windows, run them through the video tower + vid_proj (4096-d,
+    task 'Feature_Extraction', model.py:375-377) in inner batches of 64,
+    save one [N_windows, 4096] array per clip_uid;
+  * `EgoNLQ/main.py:58-136` — fused per-(window, query) features: the full
+    6+6 fused stack conditioned on the query text -> 768-d video CLS per
+    window (EgoNLQ/model/model.py:190-262), plus raw (unprojected) dual text
+    tokens for VSLNet's query encoder;
+  * `QFVS/extract_features.py` / `extract_multimodal_features.py` — staged
+    unfused-tokens / fused-CLS extraction, exposed here via
+    `video_tokens_unfused` and `fused_window_features`.
+
+TPU-native: windows are batched into one jit with static shapes (pad the
+last partial batch), so extraction is a single compiled program per shape.
+Outputs are .npy; `save_pt_compatible` emits torch .pt when torch exists so
+the reference head-tuning code can consume them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egovlpv2_tpu.models.egovlp import EgoVLPv2
+
+
+def window_frames(frames: np.ndarray, num_frames: int) -> np.ndarray:
+    """[T, H, W, C] -> [N_windows, num_frames, H, W, C]; pad-repeat the last
+    frame to fill the final window (test_mq.py:60-66 semantics)."""
+    t = frames.shape[0]
+    n_win = -(-t // num_frames)
+    pad = n_win * num_frames - t
+    if pad:
+        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+    return frames.reshape(n_win, num_frames, *frames.shape[1:])
+
+
+class FeatureExtractor:
+    """Batched window extraction with a single compiled program."""
+
+    def __init__(self, model: EgoVLPv2, params, inner_batch: int = 64):
+        self.model = model
+        self.params = params
+        self.inner_batch = inner_batch
+
+        @jax.jit
+        def _video_features(params, windows):
+            return model.apply({"params": params}, windows,
+                               method=model.compute_video)
+
+        @jax.jit
+        def _fused_features(params, windows, ids, mask):
+            v_cls, _ = model.apply(
+                {"params": params}, windows, ids, mask, method=model.fused_encode
+            )
+            return v_cls
+
+        @jax.jit
+        def _text_tokens_raw(params, ids, mask):
+            return model.apply({"params": params}, ids, mask,
+                               method=model.compute_text_tokens, project=False)
+
+        self._video_features = _video_features
+        self._fused_features = _fused_features
+        self._text_tokens_raw = _text_tokens_raw
+
+    def _batched(self, fn, windows: np.ndarray, *extra) -> np.ndarray:
+        n = windows.shape[0]
+        ib = self.inner_batch
+        n_pad = -(-n // ib) * ib - n
+        if n_pad:
+            windows = np.concatenate([windows, np.repeat(windows[-1:], n_pad, 0)])
+        outs = []
+        for i in range(0, windows.shape[0], ib):
+            chunk = jnp.asarray(windows[i : i + ib])
+            args = [
+                jnp.asarray(np.repeat(e[None], ib, 0)) if e.ndim == 1 else
+                jnp.asarray(e)
+                for e in extra
+            ]
+            outs.append(np.asarray(fn(self.params, chunk, *args)))
+        return np.concatenate(outs)[:n]
+
+    def clip_features(self, frames: np.ndarray, num_frames: int) -> np.ndarray:
+        """MQ-style: [T, H, W, C] -> [N_windows, projection_dim]."""
+        windows = window_frames(frames, num_frames)
+        return self._batched(self._video_features, windows)
+
+    def fused_window_features(
+        self, frames: np.ndarray, num_frames: int,
+        ids: np.ndarray, mask: np.ndarray,
+    ) -> np.ndarray:
+        """NLQ-style: fused (video, query) CLS per window -> [N_windows, 768].
+
+        ids/mask: [L] single query (tiled over windows) or [N_windows, L]."""
+        windows = window_frames(frames, num_frames)
+        nw = windows.shape[0]
+        if ids.ndim == 1:
+            ids = np.repeat(ids[None], nw, 0)
+            mask = np.repeat(mask[None], nw, 0)
+        n_pad = -(-nw // self.inner_batch) * self.inner_batch - nw
+        if n_pad:
+            windows = np.concatenate([windows, np.repeat(windows[-1:], n_pad, 0)])
+            ids = np.concatenate([ids, np.repeat(ids[-1:], n_pad, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[-1:], n_pad, 0)])
+        outs = []
+        for i in range(0, windows.shape[0], self.inner_batch):
+            outs.append(
+                np.asarray(
+                    self._fused_features(
+                        self.params,
+                        jnp.asarray(windows[i : i + self.inner_batch]),
+                        jnp.asarray(ids[i : i + self.inner_batch]),
+                        jnp.asarray(mask[i : i + self.inner_batch]),
+                    )
+                )
+            )
+        return np.concatenate(outs)[:nw]
+
+    def text_tokens(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """Raw (unprojected) dual text tokens for VSLNet (EgoNLQ/main.py:124)."""
+        return np.asarray(self._text_tokens_raw(
+            self.params, jnp.asarray(ids), jnp.asarray(mask)))
+
+
+def save_features(path: str, feats: np.ndarray, pt_compatible: bool = True):
+    """Write <clip_uid>.npy (+ .pt when torch is available, test_mq.py:86)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if path.endswith(".pt"):
+        base = path[:-3]
+    elif path.endswith(".npy"):
+        base = path[:-4]
+    else:
+        base = path
+    np.save(base + ".npy", feats)
+    if pt_compatible:
+        try:
+            import torch
+
+            torch.save(torch.from_numpy(np.ascontiguousarray(feats)), base + ".pt")
+        except ImportError:
+            pass

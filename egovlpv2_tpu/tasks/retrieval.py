@@ -1,0 +1,143 @@
+"""Dual-encoder retrieval fine-tuning + evaluation (EK-100 MIR, Charades-Ego).
+
+Capability-parity targets:
+  * `EgoVLPv2/model/model_epic_charades.py:410-441` — 'Dual' task forward:
+    dual towers -> gathered sim matrix -> AdaptiveMaxMargin (EPIC, relevancy
+    weighted) or NormSoftmax (Charades);
+  * `EgoVLPv2/trainer/trainer_epic.py:92-306` — per-iteration scheduler plus
+    epoch-milestone LR decay, val gathers all embeddings then runs official
+    mAP/nDCG;
+  * `EgoVLPv2/trainer/trainer_charades.py:216-274` — val encodes the 157
+    class-prompt sentences once, scores videos against them, charades mAP.
+
+TPU-native: one jitted global-batch step (GSPMD shards it), eval loops jit
+the encoders and accumulate embeddings on host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from egovlpv2_tpu.core.config import TrainConfig
+from egovlpv2_tpu.models.egovlp import EgoVLPv2, sim_matrix
+from egovlpv2_tpu.objectives.losses import max_margin_loss, norm_softmax_loss
+from egovlpv2_tpu.train.step import TrainState
+
+
+def dual_loss_fn(params, batch, rng, *, model: EgoVLPv2, cfg: TrainConfig):
+    lcfg = cfg.loss
+    bound = lambda method, *a, **kw: model.apply(
+        {"params": params}, *a, method=method, rngs={"dropout": rng}, **kw
+    )
+    t = bound(model.compute_text, batch["text_ids"], batch["text_mask"],
+              deterministic=False)
+    v = bound(model.compute_video, batch["video"], deterministic=False)
+    sim = sim_matrix(t, v)
+    if lcfg.type == "AdaptiveMaxMargin":
+        loss = max_margin_loss(sim, margin=lcfg.margin,
+                               weight=batch["relevancy"].astype(jnp.float32))
+    elif lcfg.type == "MaxMargin":
+        loss = max_margin_loss(sim, margin=lcfg.margin)
+    else:  # NormSoftmax (Charades)
+        loss = norm_softmax_loss(sim, lcfg.temperature)
+    return loss, {"loss_total": loss}
+
+
+def make_dual_train_step(model: EgoVLPv2, cfg: TrainConfig, tx, mesh=None):
+    def step_fn(state: TrainState, batch):
+        rng, next_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(
+            functools.partial(dual_loss_fn, model=model, cfg=cfg), has_aux=True
+        )
+        (_, metrics), grads = grad_fn(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1, next_rng), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(step_fn, donate_argnums=(0,),
+                   in_shardings=(None, NamedSharding(mesh, P("data"))))
+
+
+def make_encoders(model: EgoVLPv2):
+    @jax.jit
+    def encode_text(params, ids, mask):
+        return model.apply({"params": params}, ids, mask, method=model.compute_text)
+
+    @jax.jit
+    def encode_video(params, video):
+        return model.apply({"params": params}, video, method=model.compute_video)
+
+    return encode_text, encode_video
+
+
+def evaluate_mir(
+    model: EgoVLPv2,
+    params,
+    batches: Iterable[Dict],
+    relevancy: np.ndarray,
+    video_order: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """EK-100 MIR eval: encode everything, reorder by dataset idx, official
+    metrics (trainer_epic.py:200-306 + metric.py:283-325).
+
+    `relevancy` is the official video x sentence matrix; `video_order` maps
+    gathered row order back to csv order.
+    """
+    from egovlpv2_tpu.metrics.retrieval import mir_metrics
+
+    encode_text, encode_video = make_encoders(model)
+    t_all, v_all, idx_all = [], [], []
+    for batch in batches:
+        t_all.append(np.asarray(encode_text(params, batch["text_ids"],
+                                            batch["text_mask"])))
+        v_all.append(np.asarray(encode_video(params, batch["video"])))
+        idx_all.append(np.asarray(batch["idx"]))
+    t = np.concatenate(t_all)
+    v = np.concatenate(v_all)
+    idx = np.concatenate(idx_all)
+    order = np.argsort(idx)
+    t, v = t[order], v[order]
+    sim = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v))).T  # video x text
+    if video_order is not None:
+        sim = sim[video_order][:, video_order[: sim.shape[1]]]
+    # official metrics use unique-sentence columns; caller passes the matrix
+    # already matched to `relevancy`'s shape
+    sim = sim[:, : relevancy.shape[1]]
+    return mir_metrics(sim, relevancy)
+
+
+def evaluate_charades(
+    model: EgoVLPv2,
+    params,
+    batches: Iterable[Dict],
+    class_prompt_ids: np.ndarray,
+    class_prompt_mask: np.ndarray,
+) -> Dict[str, float]:
+    """Charades-Ego zero-shot/FT eval: 157 class prompts scored against every
+    video (trainer_charades.py:216-274)."""
+    from egovlpv2_tpu.metrics.retrieval import charades_map
+
+    encode_text, encode_video = make_encoders(model)
+    cls_emb = np.asarray(
+        encode_text(params, jnp.asarray(class_prompt_ids),
+                    jnp.asarray(class_prompt_mask))
+    )
+    sims, targets = [], []
+    for batch in batches:
+        v = np.asarray(encode_video(params, batch["video"]))
+        s = np.asarray(sim_matrix(jnp.asarray(cls_emb), jnp.asarray(v)))  # [157, B]
+        sims.append(s.T)
+        targets.append(np.asarray(batch["target"]))
+    submission = np.concatenate(sims)
+    gt = np.concatenate(targets)
+    return charades_map(submission, gt)
