@@ -9,11 +9,18 @@ JSON line. Baseline: the reference trains 20 epochs x 500k clips in ~5 days on
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the flagship step is a big program and this host
+# may have few cores; one compile, reused across rounds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 10_000_000 / (5 * 86400) / 32  # 0.723
 
@@ -24,11 +31,15 @@ def main():
     from egovlpv2_tpu.tasks.pretrain import build_pretrain, synthetic_batch
 
     n_dev = len(jax.devices())
-    batch_per_chip = 16
+    batch_per_chip = int(os.environ.get("BENCH_BATCH", "16"))
     batch_size = batch_per_chip * n_dev
 
+    # remat=False: bf16 activations at this batch fit v5e HBM, and XLA's
+    # compile time for grad-of-remat on the unrolled 24-block graph is
+    # pathological on few-core hosts (measured: >90 min vs 4.4 min without).
     cfg = TrainConfig(
-        model=ModelConfig(compute_dtype="bfloat16", remat=True),
+        model=ModelConfig(compute_dtype="bfloat16",
+                          remat=os.environ.get("BENCH_REMAT", "0") == "1"),
         optim=OptimConfig(max_steps=1000),
         global_batch_size=batch_size,
     )
@@ -40,15 +51,22 @@ def main():
         state, step = init_state(batch)
         dev_batch = shard_batch(batch, mesh)
 
-        # warmup/compile
-        state, metrics = step(state, dev_batch)
-        jax.block_until_ready(metrics["loss_total"])
+        # warmup/compile: the first couple of executions absorb server-side
+        # compile + one-time allocation/defrag (~100 s observed on the first
+        # post-compile step); steady state is what we report.
+        for _ in range(3):
+            state, metrics = step(state, dev_batch)
+            loss = float(metrics["loss_total"])
 
+        # NOTE: fetch the loss every step. block_until_ready on this
+        # tunneled TPU backend is a no-op future, and an unsynchronized
+        # dispatch loop degrades ~50x (measured 50 s/step vs 0.9 s/step
+        # with a per-step scalar fetch).
         n_iters = 10
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, metrics = step(state, dev_batch)
-        jax.block_until_ready(metrics["loss_total"])
+            loss = float(metrics["loss_total"])
         dt = time.perf_counter() - t0
 
     clips_per_sec = batch_size * n_iters / dt
@@ -64,7 +82,7 @@ def main():
                     "devices": n_dev,
                     "global_batch": batch_size,
                     "step_ms": round(1000 * dt / n_iters, 1),
-                    "loss": float(metrics["loss_total"]),
+                    "loss": loss,
                 },
             }
         )

@@ -69,26 +69,42 @@ def pretrain_loss_fn(
     model: EgoVLPv2,
     cfg: TrainConfig,
     loss_scale: float = 1.0,
+    path_remat: bool = True,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """EgoNCE + MLM + itm_weight*ITM.
+
+    Rematerialization strategy: one jax.checkpoint region per objective path
+    ("path remat") instead of per-block remat. Backward then recomputes one
+    tower pass at a time, so peak HBM is max-over-paths rather than
+    sum-over-paths, while the compiler sees only 4 remat regions (per-block
+    remat on the unrolled 24-block graph is pathologically slow to compile
+    on few-core hosts: measured >90 min vs ~5 min).
+    """
     lcfg = cfg.loss
     dropout_rng, itm_rng = jax.random.split(rng)
-    bound = lambda method, *a, **kw: model.apply(
-        {"params": params}, *a, method=method,
-        rngs={"dropout": dropout_rng}, **kw,
-    )
+
+    def bound_fn(method, **static_kw):
+        def fn(params, *arrays):
+            return model.apply(
+                {"params": params}, *arrays, method=method,
+                rngs={"dropout": dropout_rng}, **static_kw,
+            )
+        if path_remat and not model.cfg.remat:
+            fn = jax.checkpoint(fn)
+        return fn
 
     video = batch["video"]
     ids, mask = batch["text_ids"], batch["text_mask"]
-    tokens = bound(model.patchify, video)  # [B, F*N, D] — reused 3x
-    num_frames = video.shape[1]
+    # patchify once, reused by all three paths (kept, not rematted: it is
+    # the single biggest recompute and small to store)
+    tokens = model.apply({"params": params}, video, method=model.patchify)
     metrics = {}
 
     # ---- EgoNCE (dual towers over the global batch) ----
-    t_emb = bound(model.compute_text, ids, mask, deterministic=False)
-    v_emb = bound(
-        model.compute_video, None, video_tokens=tokens, num_frames=num_frames,
-        deterministic=False,
-    )
+    t_emb = bound_fn(model.compute_text, deterministic=False)(params, ids, mask)
+    v_emb = bound_fn(
+        model.compute_video, deterministic=False,
+    )(params, None, tokens)
     sim = sim_matrix(t_emb, v_emb)
     if lcfg.type == "EgoNCE":
         sim_v = sim_matrix(batch["verb_vec"], batch["verb_vec"])
@@ -105,9 +121,8 @@ def pretrain_loss_fn(
 
     # ---- MLM (fused stack on masked text) ----
     if "MLM" in cfg.tasks:
-        mlm_logits = bound(
-            model.mlm_forward, None, batch["text_mlm_ids"], mask,
-            video_tokens=tokens, deterministic=False,
+        mlm_logits = bound_fn(model.mlm_forward, deterministic=False)(
+            params, None, batch["text_mlm_ids"], mask, tokens
         )
         loss_mlm = masked_lm_loss(mlm_logits, batch["text_mlm_labels"])
         loss = loss + lcfg.mlm_weight * loss_mlm
@@ -116,13 +131,9 @@ def pretrain_loss_fn(
     # ---- ITM (fused stack on hard-negative-mined batch) ----
     if "ITM" in cfg.tasks:
         idx = mine_itm_indices(itm_rng, jax.lax.stop_gradient(sim), mask_bool, temp)
-        itm_logits = bound(
-            model.itm_forward,
-            None,
-            ids[idx.text_idx],
-            mask[idx.text_idx],
-            video_tokens=tokens[idx.video_idx],
-            deterministic=False,
+        itm_logits = bound_fn(model.itm_forward, deterministic=False)(
+            params, None, ids[idx.text_idx], mask[idx.text_idx],
+            tokens[idx.video_idx],
         )
         loss_itm = itm_loss(itm_logits, idx.labels)
         loss = loss + lcfg.itm_weight * loss_itm
