@@ -62,6 +62,10 @@ def attend(
 
         return flash.flash_attention(q, k, v, scale=scale, bias=bias)
 
+    # NOTE: keep the N-D einsum. Folding batch dims to a 3-D batched dot was
+    # measured 30% SLOWER end-to-end on v5e (1.14 s/step vs 0.87 s/step):
+    # the explicit reshapes/broadcasts materialize copies XLA otherwise
+    # fuses into the dot.
     acc_t = jnp.float32
     logits = jnp.einsum(
         "...qd,...kd->...qk", q * jnp.asarray(scale, q.dtype), k,
