@@ -68,6 +68,52 @@ def make_dual_train_step(model: EgoVLPv2, cfg: TrainConfig, tx, mesh=None):
                    in_shardings=(None, NamedSharding(mesh, P("data"))))
 
 
+def milestone_lr_scale(epoch: int, milestones: Tuple[int, ...]) -> float:
+    """Epoch-milestone LR decay applied on top of the base schedule
+    (trainer_epic.py:85-90): x0.1 at each passed milestone. Plug into the
+    optimizer via optax.scale(...) recreated per epoch, or fold into a
+    schedule with `epoch_milestone_schedule`."""
+    scale = 1.0
+    for m in milestones:
+        if epoch >= m:
+            scale *= 0.1
+    return scale
+
+
+def epoch_milestone_schedule(base: float, milestones: Tuple[int, ...],
+                             steps_per_epoch: int):
+    """optax schedule version of the reference's per-epoch milestone decay."""
+    import optax
+
+    boundaries = {m * steps_per_epoch: 0.1 for m in milestones}
+    return optax.piecewise_constant_schedule(base, boundaries)
+
+
+def train_retrieval_epochs(
+    model: EgoVLPv2,
+    cfg: TrainConfig,
+    tx,
+    state,
+    step_fn,
+    train_batches: Callable[[int], Iterable[Dict]],
+    eval_fn: Optional[Callable] = None,
+    epochs: int = 1,
+    log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+):
+    """Epoch loop for the dual-encoder fine-tunes (trainer_epic.py:92-196):
+    per-iteration schedule steps happen inside `tx`; per-epoch validation via
+    `eval_fn(params) -> metrics`."""
+    history = []
+    for epoch in range(epochs):
+        for batch in train_batches(epoch):
+            state, metrics = step_fn(state, batch)
+            if log_fn is not None:
+                log_fn(int(state.step), {k: float(v) for k, v in metrics.items()})
+        if eval_fn is not None:
+            history.append(eval_fn(state.params))
+    return state, history
+
+
 def make_encoders(model: EgoVLPv2):
     @jax.jit
     def encode_text(params, ids, mask):

@@ -1,0 +1,41 @@
+"""Visualizer HTML, logging stats writer, preprocess helpers."""
+
+import json
+import os
+
+import numpy as np
+
+from egovlpv2_tpu.utils.logging import StatsWriter, Throughput
+from egovlpv2_tpu.utils.visualizer import RetrievalVisualizer
+
+
+def test_visualizer_writes_pages(tmp_path):
+    viz = RetrievalVisualizer(str(tmp_path))
+    sims = np.array([[0.9, 0.2, 0.1], [0.1, 0.8, 0.3]])
+    path = viz.write_epoch(
+        1, ["wash hands", "cut onion"], sims,
+        video_paths=["a.mp4", "b.mp4", "c.mp4"], gt_indices=[0, 2],
+        metrics={"R1": 50.0},
+    )
+    content = open(path).read()
+    assert "wash hands" in content and "a.mp4" in content
+    assert os.path.exists(tmp_path / "index.html")
+    # gt for query 1 is video c ranked 2nd -> hit at top_k=5
+    assert 'class="hit"' in content
+
+
+def test_stats_writer(tmp_path):
+    w = StatsWriter(str(tmp_path), tensorboard=False)
+    w.write(1, {"loss": 1.5})
+    w.write(2, {"loss": 1.25})
+    w.close()
+    lines = open(tmp_path / "stats.txt").read().strip().splitlines()
+    assert json.loads(lines[0]) == {"step": 1, "loss": 1.5}
+    assert json.loads(lines[1])["loss"] == 1.25
+
+
+def test_throughput_meter():
+    tp = Throughput(items_per_step=8)
+    assert tp.tick() == {}
+    out = tp.tick()
+    assert out["items_per_sec"] > 0
