@@ -172,6 +172,64 @@ class EgoVLPv2(nn.Module):
 
     # ---------------- fused stack ----------------
 
+    def video_unfused(
+        self,
+        video: Optional[jax.Array],
+        video_tokens: Optional[jax.Array] = None,
+        num_frames: Optional[int] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Embed (fused-path CLS) + first `num_unfused` video blocks.
+
+        This is the QFVS stage-1 'model_video_unfused' surface
+        (QFVS/model/model_video_unfused.py:168-206)."""
+        f = self._num_frames(video, video_tokens, num_frames)
+        v = self.video_model.embed(
+            video, cls_token=self.fused_cls_token, tokens=video_tokens,
+            deterministic=deterministic,
+        )
+        return self.video_model.run_blocks(v, f, start=0, end=self.cfg.num_unfused,
+                                           deterministic=deterministic)
+
+    def text_unfused(
+        self, input_ids: jax.Array, attention_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Embeddings + first `num_unfused` text layers (QFVS
+        'model_text_unfused', QFVS/model/model_text_unfused.py:167-186)."""
+        bias = make_additive_mask(attention_mask)
+        t = self.text_model.embed(input_ids, deterministic=deterministic)
+        return self.text_model.run_layers(t, bias, start=0,
+                                          end=self.cfg.num_unfused,
+                                          deterministic=deterministic)
+
+    def fuse_from_unfused(
+        self,
+        v: jax.Array,
+        t: jax.Array,
+        attention_mask: jax.Array,
+        num_frames: int,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Lockstep fused blocks from precomputed unfused intermediates;
+        the QFVS 'model_fused' stage (QFVS/model/model_fused.py:172-198).
+
+        Text attends to the PRE-update video tokens, then video advances
+        (model.py:259-271). Returns (video_cls, text_tokens)."""
+        cfg = self.cfg
+        bias = make_additive_mask(attention_mask)
+        for i in range(cfg.num_unfused, cfg.text.num_layers):
+            v_new = self.video_model.run_block(
+                v, i, num_frames, text=t, text_bias=bias,
+                deterministic=deterministic,
+            )
+            t = self.text_model.run_layer(
+                t, i, bias=bias, video=v, last_norm=True,
+                deterministic=deterministic,
+            )
+            v = v_new
+        return self.fused_norm(v)[:, 0], t
+
     def fused_encode(
         self,
         video: Optional[jax.Array],
@@ -185,35 +243,10 @@ class EgoVLPv2(nn.Module):
 
         Returns (video_cls [B, Dv], text_tokens [B, St, Dt]).
         """
-        cfg = self.cfg
         f = self._num_frames(video, video_tokens, num_frames)
-        nun = cfg.num_unfused
-
-        v = self.video_model.embed(
-            video, cls_token=self.fused_cls_token, tokens=video_tokens,
-            deterministic=deterministic,
-        )
-        v = self.video_model.run_blocks(v, f, start=0, end=nun,
-                                        deterministic=deterministic)
-
-        bias = make_additive_mask(attention_mask)
-        t = self.text_model.embed(input_ids, deterministic=deterministic)
-        t = self.text_model.run_layers(t, bias, start=0, end=nun,
-                                       deterministic=deterministic)
-
-        # Lockstep same-depth exchange: text attends to the PRE-update video
-        # tokens, then video advances (model.py:259-271).
-        for i in range(nun, cfg.text.num_layers):
-            v_new = self.video_model.run_block(
-                v, i, f, text=t, text_bias=bias, deterministic=deterministic
-            )
-            t = self.text_model.run_layer(
-                t, i, bias=bias, video=v, last_norm=True, deterministic=deterministic
-            )
-            v = v_new
-
-        v_cls = self.fused_norm(v)[:, 0]
-        return v_cls, t
+        v = self.video_unfused(video, video_tokens, f, deterministic)
+        t = self.text_unfused(input_ids, attention_mask, deterministic)
+        return self.fuse_from_unfused(v, t, attention_mask, f, deterministic)
 
     def itm_forward(
         self,
