@@ -148,6 +148,29 @@ class DataLoader:
             stop.set()
 
 
+class RoundRobinLoader:
+    """Alternate batches across several loaders per step
+    (base_data_loader.py:142 BaseMultiDataLoader)."""
+
+    def __init__(self, loaders: Sequence[DataLoader]):
+        self.loaders = list(loaders)
+
+    def __len__(self):
+        return sum(len(l) for l in self.loaders)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, Any]]:
+        iters = [l.epoch(epoch) for l in self.loaders]
+        live = list(range(len(iters)))
+        i = 0
+        while live:
+            idx = live[i % len(live)]
+            try:
+                yield next(iters[idx])
+                i += 1
+            except StopIteration:
+                live.remove(idx)
+
+
 def pretrain_post_fn(tokenizer: Tokenizer, mlm_prob: float = 0.15, seed: int = 0):
     """Tokenize (incl. scene negatives concat, trainer_egoclip.py:112-116)
     and apply MLM masking."""

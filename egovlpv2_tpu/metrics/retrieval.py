@@ -157,6 +157,21 @@ def mir_metrics(sim: np.ndarray, relevancy: np.ndarray) -> Dict[str, float]:
     }
 
 
+def oscc_accuracy(preds: np.ndarray, labels: np.ndarray) -> Dict[str, float]:
+    """Object-state-change classification accuracy (metric.py:386-397)."""
+    return {"accuracy": 100.0 * float(np.mean(np.argmax(preds, -1) == labels))}
+
+
+def pnr_distance(preds: np.ndarray, labels: np.ndarray,
+                 fps: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Point-of-no-return temporal localization error in seconds
+    (metric.py:399+): |argmax(pred) - label| / fps averaged."""
+    err = np.abs(np.argmax(preds, -1) - labels).astype(np.float64)
+    if fps is not None:
+        err = err / fps
+    return {"distance": float(np.mean(err))}
+
+
 # ---------------- Charades-Ego ----------------
 
 

@@ -1,0 +1,69 @@
+"""Multi-host initialization + preemption-safe training helpers.
+
+TPU-native replacement for the reference's SLURM/NCCL runtime
+(`multinode_train_egoclip.py:63-99`: rank/world-size from SLURM env, TCP
+rendezvous, SIGUSR1 requeue). On TPU pods `jax.distributed.initialize()`
+discovers peers from the TPU environment; preemption safety comes from
+periodic orbax checkpoints plus a SIGTERM-triggered final save instead of
+requeueing.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import threading
+from typing import Callable, Optional
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> dict:
+    """Initialize jax.distributed when running multi-host; no-op single-host.
+
+    On Cloud TPU pods all arguments are auto-discovered; explicit values
+    support SLURM-style launches (reference run.sh: 4 nodes x 8 devices)."""
+    already_multi = num_processes is not None or any(
+        k in os.environ for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if already_multi or os.environ.get("JAX_MULTIHOST", "0") == "1":
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+class PreemptionGuard:
+    """Run `on_preempt()` once when SIGTERM arrives (replaces the reference's
+    SIGUSR1 -> scontrol requeue flow with save-before-death)."""
+
+    def __init__(self, on_preempt: Callable[[], None]):
+        self._fired = threading.Event()
+        self._cb = on_preempt
+        self._prev = signal.signal(signal.SIGTERM, self._handler)
+
+    def _handler(self, signum, frame):
+        if not self._fired.is_set():
+            self._fired.set()
+            try:
+                self._cb()
+            finally:
+                if callable(self._prev):
+                    self._prev(signum, frame)
+
+    @property
+    def preempted(self) -> bool:
+        return self._fired.is_set()
