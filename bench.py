@@ -39,6 +39,7 @@ def main():
     # pathological on few-core hosts (measured: >90 min vs 4.4 min without).
     cfg = TrainConfig(
         model=ModelConfig(compute_dtype="bfloat16",
+                          attn_impl=os.environ.get("BENCH_ATTN", "xla"),
                           remat=os.environ.get("BENCH_REMAT", "0") == "1"),
         optim=OptimConfig(max_steps=1000),
         global_batch_size=batch_size,

@@ -73,6 +73,36 @@ def make_qa_train_step(model, tx):
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def evaluate_qa(
+    model,
+    params,
+    batches: Iterable[Dict],
+    reasoning_types: Sequence[str],
+) -> Dict[str, float]:
+    """Validation pass: accuracy overall + per reasoning type
+    (EgoTaskQA/main_end2end.py:375-388 gather + metric)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def predict(params, video, ids, mask):
+        logits = model.apply({"params": params}, video, ids, mask)
+        return jnp.argmax(logits, axis=-1)
+
+    calc = ReasoningTypeAccuracy(reasoning_types)
+    correct = total = 0
+    for batch in batches:
+        pred = np.asarray(predict(params, jnp.asarray(batch["video"]),
+                                  jnp.asarray(batch["text_ids"]),
+                                  jnp.asarray(batch["text_mask"])))
+        label = np.asarray(batch["answer"])
+        correct += int((pred == label).sum())
+        total += len(label)
+        calc.update(batch.get("reasoning_types", [[] for _ in label]), pred, label)
+    out = {"acc": correct / max(total, 1)}
+    out.update({f"acc/{k}": v for k, v in calc.accuracies().items()})
+    return out
+
+
 class ReasoningTypeAccuracy:
     """Per-reasoning-type accuracy accumulator (util.py:23-60)."""
 

@@ -155,6 +155,12 @@ def flash_attention(
     sq, dh = q.shape[-2:]
     sk = k.shape[-2]
     g = int(np.prod(lead)) if lead else 1
+    if sq < 32 or sk < 32:
+        # tiny-sequence attention (e.g. time attention at 4 frames: 5 keys)
+        # is launch-bound as one kernel per group — the fused XLA path wins
+        from egovlpv2_tpu.ops.attention import attend
+
+        return attend(q, k, v, scale=scale, bias=bias, impl="xla")
     q3 = q.reshape(g, sq, dh)
     k3 = k.reshape(g, sk, dh)
     v3 = v.reshape(g, sk, dh)

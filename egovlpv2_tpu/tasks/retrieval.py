@@ -126,19 +126,39 @@ def make_encoders(model: EgoVLPv2):
     return encode_text, encode_video
 
 
+def align_mir_similarity(
+    sim_text_video: np.ndarray,  # [N, N] rows = gathered texts, cols = videos
+    idx_arr: np.ndarray,  # [N] dataset indices in gathered order
+    video_ids: np.ndarray,  # EPIC_100_retrieval_test.csv column 0 order
+    sentence_video_ids: np.ndarray,  # ..._test_sentence.csv column 0 order
+) -> np.ndarray:
+    """Reorder the gathered square similarity into the official
+    video x unique-sentence layout (metric.py:292-305): undo the gather
+    permutation, then select the sentence columns by their video ids."""
+    idx_list = idx_arr.tolist()
+    order = [idx_list.index(i) for i in range(len(video_ids))]
+    sim = sim_text_video[order][:, order]
+    vid_list = video_ids.tolist()
+    indexes = [vid_list.index(v) for v in sentence_video_ids]
+    return sim.T[:, indexes]  # video x sentence
+
+
 def evaluate_mir(
     model: EgoVLPv2,
     params,
     batches: Iterable[Dict],
     relevancy: np.ndarray,
-    video_order: Optional[np.ndarray] = None,
+    video_ids: Optional[np.ndarray] = None,
+    sentence_video_ids: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
-    """EK-100 MIR eval: encode everything, reorder by dataset idx, official
-    metrics (trainer_epic.py:200-306 + metric.py:283-325).
+    """EK-100 MIR eval: encode everything, undo the gather order, select the
+    official unique-sentence columns, run official mAP/nDCG
+    (trainer_epic.py:200-306 + metric.py:283-325).
 
-    `relevancy` is the official video x sentence matrix; `video_order` maps
-    gathered row order back to csv order.
-    """
+    `relevancy` is the official video x sentence matrix; `video_ids` /
+    `sentence_video_ids` come from the EPIC retrieval csv files. When they
+    are omitted (e.g. synthetic tests) the square text x video similarity is
+    used directly against `relevancy`'s shape."""
     from egovlpv2_tpu.metrics.retrieval import mir_metrics
 
     encode_text, encode_video = make_encoders(model)
@@ -151,14 +171,12 @@ def evaluate_mir(
     t = np.concatenate(t_all)
     v = np.concatenate(v_all)
     idx = np.concatenate(idx_all)
-    order = np.argsort(idx)
-    t, v = t[order], v[order]
-    sim = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v))).T  # video x text
-    if video_order is not None:
-        sim = sim[video_order][:, video_order[: sim.shape[1]]]
-    # official metrics use unique-sentence columns; caller passes the matrix
-    # already matched to `relevancy`'s shape
-    sim = sim[:, : relevancy.shape[1]]
+    sim_tv = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v)))
+    if video_ids is not None and sentence_video_ids is not None:
+        sim = align_mir_similarity(sim_tv, idx, video_ids, sentence_video_ids)
+    else:
+        order = np.argsort(idx)
+        sim = sim_tv[order][:, order].T[:, : relevancy.shape[1]]
     return mir_metrics(sim, relevancy)
 
 

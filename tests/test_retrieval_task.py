@@ -98,3 +98,22 @@ def test_milestone_schedule():
     sched = epoch_milestone_schedule(1.0, (2,), steps_per_epoch=10)
     assert float(sched(0)) == 1.0
     assert abs(float(sched(25)) - 0.1) < 1e-6
+
+
+def test_align_mir_similarity():
+    from egovlpv2_tpu.tasks.retrieval import align_mir_similarity
+    import numpy as np
+
+    # 3 videos A,B,C; gathered order is [2,0,1] (dataset idx per row)
+    # canonical sim[text_i, video_j] = 10*i + j in csv order
+    canonical = np.arange(9).reshape(3, 3) + np.array([[0], [10], [20]])
+    perm = [2, 0, 1]  # gathered row r corresponds to dataset index perm[r]
+    gathered = canonical[perm][:, perm]
+    idx_arr = np.array(perm)
+    video_ids = np.array(["A", "B", "C"])
+    sentence_video_ids = np.array(["B", "A", "B"])  # 3 unique sentences
+    out = align_mir_similarity(gathered, idx_arr, video_ids, sentence_video_ids)
+    # out[v, s] = canonical[sentence_row, video]; sentence columns map to
+    # rows [1, 0, 1] of the canonical text x video matrix
+    expected = canonical.T[:, [1, 0, 1]]
+    np.testing.assert_array_equal(out, expected)
