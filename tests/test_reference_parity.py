@@ -51,9 +51,13 @@ def _shim_timm():
     layers.trunc_normal_ = trunc_normal_
     models.layers = layers
     timm.models = models
-    sys.modules["timm"] = timm
-    sys.modules["timm.models"] = models
-    sys.modules["timm.models.layers"] = layers
+    # give the shims real specs — transformers probes importlib.util.find_spec
+    import importlib.machinery
+
+    for name, mod in (("timm", timm), ("timm.models", models),
+                      ("timm.models.layers", layers)):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        sys.modules[name] = mod
 
 
 @pytest.fixture(scope="module")
