@@ -316,3 +316,141 @@ def test_fused_text_layer_matches_reference(ref_roberta):
                                      jnp.asarray(mask_bias), jnp.asarray(video),
                                      False))
     np.testing.assert_allclose(got_noln, ref_out_noln, rtol=2e-4, atol=2e-4)
+
+
+def test_lockstep_fused_stack_matches_reference(ref_vt, ref_roberta):
+    """The 2-block lockstep exchange (model.py:259-271): text attends to the
+    PRE-update video tokens, then video advances — verified against the
+    reference video blocks + reference roberta layers composed exactly as
+    the reference training code composes them."""
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+    from transformers import RobertaConfig
+
+    from egovlpv2_tpu.core.config import (
+        FusionConfig, ModelConfig, TextEncoderConfig, VideoEncoderConfig,
+    )
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.train.checkpoint_import import map_text_model, map_video_model
+
+    HS = TEXT_DIM  # text width must be 768 (reference DIM_TEXT hardcode)
+    torch.manual_seed(3)
+    ref_video = ref_vt.SpaceTimeTransformer(
+        img_size=IMG, patch_size=PATCH, embed_dim=D, depth=DEPTH,
+        num_heads=HEADS, num_frames=F, qkv_bias=True, time_init="zeros",
+    )
+    ref_video.eval()
+    with torch.no_grad():
+        for blk in ref_video.blocks:
+            for p in blk.timeattn.parameters():
+                p.normal_(0, 0.02)
+        for i in (6, 7):
+            ref_video.blocks[i].attn.alpha_i2t.fill_(0.5)
+
+    ref_roberta.DIM_IMG = D
+    rcfg = RobertaConfig(
+        vocab_size=100, hidden_size=HS, num_hidden_layers=DEPTH,
+        num_attention_heads=HEADS, intermediate_size=2 * HS,
+        max_position_embeddings=40, pad_token_id=1, type_vocab_size=1,
+        layer_norm_eps=1e-5, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    ref_layers = []
+    for i in (6, 7):
+        layer = ref_roberta.RobertaLayer(rcfg, layer_index=i)
+        layer.eval()
+        with torch.no_grad():
+            layer.alpha_t2i.fill_(0.3)
+        ref_layers.append(layer)
+    ln_g = torch.randn(D)
+    ln_b = torch.randn(D)
+
+    rs = np.random.RandomState(4)
+    v0 = rs.randn(2, 1 + F * N, D).astype(np.float32)
+    t0 = rs.randn(2, 7, HS).astype(np.float32)
+    mask = np.ones((2, 7), np.int32)
+    mask[:, 5:] = 0
+    bias = (1.0 - mask.astype(np.float32))[:, None, None, :] * -1e9
+
+    # reference composition (model.py:259-271)
+    with torch.no_grad():
+        v = torch.from_numpy(v0)
+        t = torch.from_numpy(t0)
+        tb = torch.from_numpy(bias)
+        for j, i in enumerate((6, 7)):
+            fuse_v = ref_video.blocks[i](
+                v, "b (f n) d", "(b f) n d", "b (f n) d", "(b n) f d",
+                time_n=N, space_f=F, y=t, y_mask=tb,
+            )
+            t = ref_layers[j](t, tb, encoder_hidden_states=v, last_norm=True)[0]
+            v = fuse_v
+        ref_v_cls = torch.nn.functional.layer_norm(
+            v, (D,), ln_g, ln_b, eps=1e-6)[:, 0].numpy()
+        ref_t = t.numpy()
+
+    # our model
+    mcfg = ModelConfig(
+        video=VideoEncoderConfig(img_size=IMG, patch_size=PATCH, embed_dim=D,
+                                 depth=DEPTH, num_heads=HEADS, num_frames=F),
+        text=TextEncoderConfig(vocab_size=100, hidden_size=HS, num_layers=DEPTH,
+                               num_heads=HEADS, intermediate_size=2 * HS,
+                               max_position_embeddings=40, hidden_dropout=0.0,
+                               attn_dropout=0.0),
+        fusion=FusionConfig(num_fuse_block=2, dim_video=D, dim_text=HS,
+                            hidden_size=D),
+        projection="",
+        remat=False,
+    )
+    model = EgoVLPv2(mcfg)
+    video = jnp.asarray(rs.randn(2, F, IMG, IMG, 3), jnp.float32)
+    ids = jnp.asarray([[0, 5, 6, 2, 1, 1, 1]], jnp.int32).repeat(2, 0)
+    params = model.init(jax.random.PRNGKey(0), video, ids,
+                        jnp.asarray(mask), method=model.init_all)["params"]
+
+    sd = {"video_model." + k: v_.detach().numpy()
+          for k, v_ in ref_video.state_dict().items()}
+    for j, i in enumerate((6, 7)):
+        for k, v_ in ref_layers[j].state_dict().items():
+            sd[f"text_model.encoder.layer.{i}." + k] = v_.detach().numpy()
+    mapped = {}
+    mapped["video_model"] = map_video_model(sd, depth=DEPTH, num_unfused=6)
+    # only the fused text layers are exercised by fuse_from_unfused
+    flat_p = traverse_util.flatten_dict(params)
+    for path, leaf in traverse_util.flatten_dict(mapped).items():
+        if path in flat_p:
+            flat_p[path] = jnp.asarray(
+                np.asarray(leaf).reshape(flat_p[path].shape))
+    from egovlpv2_tpu.train.checkpoint_import import _dense, _ln
+
+    for j, i in enumerate((6, 7)):
+        lp = f"text_model.encoder.layer.{i}"
+        layer_map = {
+            ("text_model", f"layer_{i}", "attention", "query"): _dense(sd, lp + ".attention.self.query"),
+            ("text_model", f"layer_{i}", "attention", "key"): _dense(sd, lp + ".attention.self.key"),
+            ("text_model", f"layer_{i}", "attention", "value"): _dense(sd, lp + ".attention.self.value"),
+            ("text_model", f"layer_{i}", "attention", "out_dense"): _dense(sd, lp + ".attention.output.dense"),
+            ("text_model", f"layer_{i}", "crossattention_t2i", "query"): _dense(sd, lp + ".crossattention_t2i.self.query"),
+            ("text_model", f"layer_{i}", "crossattention_t2i", "key"): _dense(sd, lp + ".crossattention_t2i.self.key"),
+            ("text_model", f"layer_{i}", "crossattention_t2i", "value"): _dense(sd, lp + ".crossattention_t2i.self.value"),
+            ("text_model", f"layer_{i}", "crossattention_t2i", "out_dense"): _dense(sd, lp + ".crossattention_t2i.output.dense"),
+            ("text_model", f"layer_{i}", "attention_LayerNorm"): _ln(sd, lp + ".attention.output.LayerNorm"),
+            ("text_model", f"layer_{i}", "intermediate"): _dense(sd, lp + ".intermediate.dense"),
+            ("text_model", f"layer_{i}", "output"): _dense(sd, lp + ".output.dense"),
+            ("text_model", f"layer_{i}", "output_LayerNorm"): _ln(sd, lp + ".output.LayerNorm"),
+        }
+        for prefix, tree in layer_map.items():
+            for leaf_path, leaf in traverse_util.flatten_dict({(): tree} if not isinstance(tree, dict) else tree).items():
+                flat_p[prefix + leaf_path] = jnp.asarray(np.asarray(leaf))
+        flat_p[("text_model", f"layer_{i}", "alpha_t2i")] = jnp.asarray([0.3])
+    flat_p[("norm", "scale")] = jnp.asarray(ln_g.numpy())
+    flat_p[("norm", "bias")] = jnp.asarray(ln_b.numpy())
+    params = traverse_util.unflatten_dict(flat_p)
+
+    v_cls, t_out = model.apply(
+        {"params": params}, jnp.asarray(v0), jnp.asarray(t0),
+        jnp.asarray(mask), F, method=model.fuse_from_unfused,
+    )
+    np.testing.assert_allclose(np.asarray(t_out), ref_t, rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(v_cls), ref_v_cls, rtol=3e-4,
+                               atol=3e-4)
