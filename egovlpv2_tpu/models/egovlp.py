@@ -248,6 +248,15 @@ class EgoVLPv2(nn.Module):
         t = self.text_unfused(input_ids, attention_mask, deterministic)
         return self.fuse_from_unfused(v, t, attention_mask, f, deterministic)
 
+    def _itm_head_from(self, v_cls, t):
+        t_cls = self.cross_modal_text_transform(t[:, 0])
+        v_emb = self.cross_modal_video_transform(v_cls)
+        cls_feats = jnp.concatenate(
+            [self.cross_modal_text_pooler(t_cls), self.cross_modal_video_pooler(v_emb)],
+            axis=-1,
+        )
+        return self.itm_score(cls_feats)
+
     def itm_forward(
         self,
         video: Optional[jax.Array],
@@ -261,13 +270,7 @@ class EgoVLPv2(nn.Module):
             video, input_ids, attention_mask, video_tokens=video_tokens,
             deterministic=deterministic,
         )
-        t_cls = self.cross_modal_text_transform(t[:, 0])
-        v_emb = self.cross_modal_video_transform(v_cls)
-        cls_feats = jnp.concatenate(
-            [self.cross_modal_text_pooler(t_cls), self.cross_modal_video_pooler(v_emb)],
-            axis=-1,
-        )
-        return self.itm_score(cls_feats)
+        return self._itm_head_from(v_cls, t)
 
     def mlm_forward(
         self,
@@ -284,6 +287,34 @@ class EgoVLPv2(nn.Module):
         )
         t = self.cross_modal_text_transform(t)
         return self.mlm_score(t)
+
+    def _frames_from_unfused(self, v_un: jax.Array) -> int:
+        return (v_un.shape[1] - 1) // self.cfg.video.patches_per_frame
+
+    def mlm_forward_from_video(
+        self, v_un: jax.Array, mlm_input_ids: jax.Array,
+        attention_mask: jax.Array, deterministic: bool = True,
+    ) -> jax.Array:
+        """MLM logits from precomputed unfused video tokens. The video side
+        of the fused paths is dropout-free and text-independent through the
+        unfused blocks, so MLM/ITM can share one unfused-video pass —
+        identical math to the reference's two passes (model.py:238-244 vs
+        325-331)."""
+        f = self._frames_from_unfused(v_un)
+        t = self.text_unfused(mlm_input_ids, attention_mask, deterministic)
+        _, t = self.fuse_from_unfused(v_un, t, attention_mask, f, deterministic)
+        return self.mlm_score(self.cross_modal_text_transform(t))
+
+    def itm_forward_from_video(
+        self, v_un: jax.Array, input_ids: jax.Array,
+        attention_mask: jax.Array, deterministic: bool = True,
+    ) -> jax.Array:
+        """ITM logits from (already gathered) unfused video tokens."""
+        f = self._frames_from_unfused(v_un)
+        t = self.text_unfused(input_ids, attention_mask, deterministic)
+        v_cls, t = self.fuse_from_unfused(v_un, t, attention_mask, f,
+                                          deterministic)
+        return self._itm_head_from(v_cls, t)
 
     def __call__(
         self,

@@ -119,10 +119,20 @@ def pretrain_loss_fn(
     loss = loss_nce
     metrics["loss_egonce"] = loss_nce
 
+    # ---- fused paths ----
+    # The fused-path video stream is text-independent and dropout-free
+    # through the unfused blocks, so MLM and ITM share ONE unfused-video
+    # pass; ITM gathers the mined examples' token states instead of
+    # re-running them (identical math to the reference's separate passes).
+    if "MLM" in cfg.tasks or "ITM" in cfg.tasks:
+        v_un = bound_fn(model.video_unfused, deterministic=False)(
+            params, None, tokens
+        )
+
     # ---- MLM (fused stack on masked text) ----
     if "MLM" in cfg.tasks:
-        mlm_logits = bound_fn(model.mlm_forward, deterministic=False)(
-            params, None, batch["text_mlm_ids"], mask, tokens
+        mlm_logits = bound_fn(model.mlm_forward_from_video, deterministic=False)(
+            params, v_un, batch["text_mlm_ids"], mask
         )
         loss_mlm = masked_lm_loss(mlm_logits, batch["text_mlm_labels"])
         loss = loss + lcfg.mlm_weight * loss_mlm
@@ -131,9 +141,8 @@ def pretrain_loss_fn(
     # ---- ITM (fused stack on hard-negative-mined batch) ----
     if "ITM" in cfg.tasks:
         idx = mine_itm_indices(itm_rng, jax.lax.stop_gradient(sim), mask_bool, temp)
-        itm_logits = bound_fn(model.itm_forward, deterministic=False)(
-            params, None, ids[idx.text_idx], mask[idx.text_idx],
-            tokens[idx.video_idx],
+        itm_logits = bound_fn(model.itm_forward_from_video, deterministic=False)(
+            params, v_un[idx.video_idx], ids[idx.text_idx], mask[idx.text_idx],
         )
         loss_itm = itm_loss(itm_logits, idx.labels)
         loss = loss + lcfg.itm_weight * loss_itm

@@ -74,3 +74,29 @@ def test_qfvs_extractor_pipeline(setup):
         assert np.isfinite(f).all()
     assert (np.diff(out["change_points"]) > 0).all() if len(
         out["change_points"]) > 1 else True
+
+
+def test_shared_unfused_video_equals_full_paths(setup):
+    """mlm/itm_forward_from_video == the full fused forwards (shared pass)."""
+    model, params, video, ids, mask = setup
+    v_un = model.apply({"params": params}, video, method=model.video_unfused)
+
+    mlm_full = model.apply({"params": params}, video, ids, mask,
+                           method=model.mlm_forward)
+    mlm_shared = model.apply({"params": params}, v_un, ids, mask,
+                             method=model.mlm_forward_from_video)
+    np.testing.assert_allclose(np.asarray(mlm_shared), np.asarray(mlm_full),
+                               atol=1e-5)
+
+    itm_full = model.apply({"params": params}, video, ids, mask,
+                           method=model.itm_forward)
+    itm_shared = model.apply({"params": params}, v_un, ids, mask,
+                             method=model.itm_forward_from_video)
+    np.testing.assert_allclose(np.asarray(itm_shared), np.asarray(itm_full),
+                               atol=1e-5)
+    # gathered variant: permuting examples = permuting outputs
+    perm = jnp.asarray([1, 0])
+    itm_perm = model.apply({"params": params}, v_un[perm], ids[perm],
+                           mask[perm], method=model.itm_forward_from_video)
+    np.testing.assert_allclose(np.asarray(itm_perm), np.asarray(itm_full)[[1, 0]],
+                               atol=1e-5)
