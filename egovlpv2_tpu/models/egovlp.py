@@ -316,6 +316,33 @@ class EgoVLPv2(nn.Module):
                                           deterministic)
         return self._itm_head_from(v_cls, t)
 
+    def mlm_itm_forward_from_video(
+        self,
+        v_un_mlm: jax.Array,
+        mlm_input_ids: jax.Array,
+        mlm_attention_mask: jax.Array,
+        v_un_itm: jax.Array,
+        itm_input_ids: jax.Array,
+        itm_attention_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """MLM + ITM fused stacks batched into ONE 2B-wide pass.
+
+        Examples are independent along batch, so concatenating the MLM and
+        mined-ITM halves before text_unfused/fuse_from_unfused is exactly
+        the two separate passes — but with half the kernel launches and
+        larger matmuls. Returns (mlm_logits, itm_logits)."""
+        b = v_un_mlm.shape[0]
+        f = self._frames_from_unfused(v_un_mlm)
+        v_un = jnp.concatenate([v_un_mlm, v_un_itm], axis=0)
+        ids = jnp.concatenate([mlm_input_ids, itm_input_ids], axis=0)
+        mask = jnp.concatenate([mlm_attention_mask, itm_attention_mask], axis=0)
+        t = self.text_unfused(ids, mask, deterministic)
+        v_cls, t = self.fuse_from_unfused(v_un, t, mask, f, deterministic)
+        mlm_logits = self.mlm_score(self.cross_modal_text_transform(t[:b]))
+        itm_logits = self._itm_head_from(v_cls[b:], t[b:])
+        return mlm_logits, itm_logits
+
     def __call__(
         self,
         video: jax.Array,

@@ -124,6 +124,10 @@ def pretrain_loss_fn(
     # through the unfused blocks, so MLM and ITM share ONE unfused-video
     # pass; ITM gathers the mined examples' token states instead of
     # re-running them (identical math to the reference's separate passes).
+    # NOTE: batching both fused stacks into one 2B-wide pass
+    # (mlm_itm_forward_from_video) was measured 45% SLOWER at batch 16 on
+    # v5e — the doubled remat-region peak pressures HBM — so the stacks run
+    # separately.
     if "MLM" in cfg.tasks or "ITM" in cfg.tasks:
         v_un = bound_fn(model.video_unfused, deterministic=False)(
             params, None, tokens

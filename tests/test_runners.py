@@ -131,3 +131,31 @@ def test_mq_feature_dataset_labels(tmp_path):
                                atol=1e-6)
     assert item["gt_action"].sum() > 0
     assert item["gt_start"].max() > 0.99  # IOA peaks at the boundary
+
+
+def test_mq_inference_proposals():
+    from egovlpv2_tpu.downstream import mq_infer
+
+    # NMS: overlapping lower-score det suppressed, disjoint kept
+    dets = np.array([[0.0, 10.0, 0.9], [1.0, 9.0, 0.5], [20.0, 30.0, 0.8]])
+    keep = mq_infer.nms_1d(dets, 0.4)
+    assert set(keep) == {0, 2}
+
+    model = vsgn.VSGN(input_feat_dim=16, hidden_dim=64, num_levels=3,
+                      temporal_scale=32, anchor_scales=(1.0, 10.0),
+                      num_classes=4, use_vss=False)
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(1, 32, 16), jnp.float32)
+    num_frms = jnp.asarray([30])
+    params = model.init(jax.random.PRNGKey(0), x, num_frms)["params"]
+    predict = mq_infer.make_vsgn_predict(model)
+    probs, adjusted, start, end = predict(params, x, num_frms)
+    props = mq_infer.proposals_from_outputs(
+        np.asarray(probs[0]), np.asarray(adjusted[0]), np.asarray(start[0]),
+        np.asarray(end[0]), 30, fps=2.0, clip_id="clipX", temporal_scale=32,
+    )
+    assert len(props) > 0
+    for p in props:
+        assert 0 <= p["t_start"] <= 15.0  # 30 frames / 2 fps
+        assert p["label"] in (1, 2, 3)
+        assert np.isfinite(p["score"])

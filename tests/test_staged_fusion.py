@@ -100,3 +100,19 @@ def test_shared_unfused_video_equals_full_paths(setup):
                            mask[perm], method=model.itm_forward_from_video)
     np.testing.assert_allclose(np.asarray(itm_perm), np.asarray(itm_full)[[1, 0]],
                                atol=1e-5)
+
+
+def test_merged_mlm_itm_equals_separate(setup):
+    model, params, video, ids, mask = setup
+    v_un = model.apply({"params": params}, video, method=model.video_unfused)
+    perm = jnp.asarray([1, 0])
+    mlm_sep = model.apply({"params": params}, v_un, ids, mask,
+                          method=model.mlm_forward_from_video)
+    itm_sep = model.apply({"params": params}, v_un[perm], ids[perm], mask[perm],
+                          method=model.itm_forward_from_video)
+    mlm_m, itm_m = model.apply(
+        {"params": params}, v_un, ids, mask, v_un[perm], ids[perm], mask[perm],
+        method=model.mlm_itm_forward_from_video,
+    )
+    np.testing.assert_allclose(np.asarray(mlm_m), np.asarray(mlm_sep), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(itm_m), np.asarray(itm_sep), atol=1e-5)
