@@ -115,9 +115,12 @@ def cmd_pretrain(args):
             synthetic_batch(cfg, cfg.global_batch_size), seed=cfg.seed
         )
         if ckpt and args.resume:
-            restored = ckpt.restore(state)
+            restored = ckpt.restore(jax.device_get(state))
             if restored is not None:
-                state = restored
+                from egovlpv2_tpu.parallel.mesh import replicate
+
+                # restored arrays land on one device; re-place on the mesh
+                state = replicate(restored, mesh)
                 log.info("resumed from step %d", int(state.step))
 
         tp = Throughput(cfg.global_batch_size)

@@ -96,3 +96,10 @@ def param_sharding(params, mesh: Mesh):
 def shard_params(params, mesh: Mesh):
     sh = param_sharding(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, sh)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place every leaf replicated across the mesh (e.g. a restored
+    checkpointed TrainState whose arrays landed on a single device)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
