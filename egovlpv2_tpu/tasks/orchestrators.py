@@ -192,6 +192,68 @@ def run_egonlq(
     }
 
 
+def run_egotaskqa(
+    backbone_cfg,
+    train_items: List[Dict],  # dicts with video/text_ids/text_mask/answer
+    val_items: List[Dict],
+    num_answers: int,
+    reasoning_types: Sequence[str] = (),
+    epochs: int = 1,
+    batch_size: int = 8,
+    lr: float = 2e-4,
+    warmup_frac: float = 0.1,
+) -> Dict[str, float]:
+    """Fine-tune the fused backbone + QA head, report overall and
+    per-reasoning-type accuracy (EgoTaskQA/main_end2end.py:84-200 recipe:
+    single-LR AdamW + cosine warmup)."""
+    import optax
+
+    from egovlpv2_tpu.data.loader import DataLoader, default_collate
+    from egovlpv2_tpu.downstream.taskqa import (
+        evaluate_qa, make_qa_model, make_qa_train_step,
+    )
+    from egovlpv2_tpu.train.step import TrainState
+
+    model = make_qa_model(backbone_cfg, num_answers)
+    total_steps = max(epochs * (len(train_items) // batch_size), 1)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, max(int(total_steps * warmup_frac), 1), total_steps)
+    tx = optax.adamw(sched, weight_decay=0.01)
+
+    ex = default_collate(train_items[:batch_size])
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ex["video"][:1]),
+        jnp.asarray(ex["text_ids"][:1]), jnp.asarray(ex["text_mask"][:1]),
+    )["params"]
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(1))
+    step = make_qa_train_step(model, tx)
+
+    class _ListDS:
+        def __len__(self):
+            return len(train_items)
+
+        def __getitem__(self, i):
+            return train_items[i % len(train_items)]
+
+    loader = DataLoader(_ListDS(), batch_size)
+    for epoch in range(epochs):
+        for batch in loader.epoch(epoch):
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k != "reasoning_types"}
+            state, _ = step(state, jb)
+
+    val_batches = []
+    for i in range(0, len(val_items), batch_size):
+        chunk = val_items[i : i + batch_size]
+        if len(chunk) < batch_size:
+            continue
+        b = default_collate(chunk)
+        b["reasoning_types"] = [it.get("reasoning_types", []) for it in chunk]
+        val_batches.append(b)
+    return evaluate_qa(model, state.params, val_batches, list(reasoning_types))
+
+
 def run_qfvs(
     dataset,  # egovlpv2_tpu.downstream.qfvs_data.QFVSDataset (train videos)
     test_items: List[Dict],  # same layout, held-out video's items

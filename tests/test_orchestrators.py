@@ -63,3 +63,43 @@ def test_run_egonlq_end_to_end(tmp_path):
     )
     for k in ("R1@0.3", "R5@0.5", "mIoU"):
         assert k in metrics and 0.0 <= metrics[k] <= 100.0
+
+
+def test_run_egotaskqa_end_to_end():
+    from egovlpv2_tpu.core.config import (
+        FusionConfig, ModelConfig, TextEncoderConfig, VideoEncoderConfig,
+    )
+    from egovlpv2_tpu.tasks.orchestrators import run_egotaskqa
+
+    cfg = ModelConfig(
+        video=VideoEncoderConfig(img_size=32, patch_size=16, embed_dim=32,
+                                 depth=4, num_heads=2, num_frames=2),
+        text=TextEncoderConfig(vocab_size=120, hidden_size=32, num_layers=4,
+                               num_heads=2, intermediate_size=64,
+                               max_position_embeddings=40),
+        fusion=FusionConfig(num_fuse_block=2, dim_video=32, dim_text=32,
+                            hidden_size=32),
+        with_itm_head=True, with_mlm_head=False,
+        projection="", remat=False,
+    )
+    rs = np.random.RandomState(0)
+
+    def make_item(i):
+        ids = np.full(6, 1, np.int32)
+        ids[0] = 0
+        ids[1] = 5 + (i % 7)
+        ids[2] = 2
+        return {
+            "video": rs.randn(2, 32, 32, 3).astype(np.float32),
+            "text_ids": ids,
+            "text_mask": (ids != 1).astype(np.int32),
+            "answer": np.int32(i % 3),
+            "reasoning_types": ["direct" if i % 2 else "indirect"],
+        }
+
+    items = [make_item(i) for i in range(8)]
+    metrics = run_egotaskqa(cfg, items, items, num_answers=3,
+                            reasoning_types=["direct", "indirect"],
+                            epochs=1, batch_size=4)
+    assert "acc" in metrics and 0.0 <= metrics["acc"] <= 1.0
+    assert "acc/direct" in metrics
