@@ -79,11 +79,14 @@ def attend(
             raise ValueError("prob_dropout requires dropout_rng")
         keep = jax.random.bernoulli(dropout_rng, 1.0 - prob_dropout, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - prob_dropout), 0.0)
+    # PV output stored directly in the compute dtype: the MXU accumulates in
+    # f32 internally either way, so this equals the f32-output + cast but
+    # skips the conversion kernels.
     out = jnp.einsum(
         "...qk,...kd->...qd", probs.astype(q.dtype), v,
-        preferred_element_type=acc_t,
+        preferred_element_type=q.dtype,
     )
-    return out.astype(q.dtype)
+    return out
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
