@@ -5,21 +5,29 @@ ConfigParser reflection + per-entry argparse + import-time YAML globals) with
 one dataclass tree (`egovlpv2_tpu.core.config`) loaded from JSON and
 overridable with --set dotted.key=value flags.
 
-Subcommands:
-  pretrain   — EgoClip EgoNCE+MLM+ITM pre-training (synthetic data when no
-               --meta/--data given, for smoke/perf runs)
-  egomcq     — EgoMCQ zero-shot validation
-  extract    — dense window features for MQ/NLQ/QFVS
-  bench      — one train-step throughput measurement (same as bench.py)
+Subcommands (reference entry points they replace):
+  pretrain      — EgoClip EgoNCE+MLM+ITM pre-training with optional per-epoch
+                  EgoMCQ validation, monitor-best checkpointing and early
+                  stopping (multinode_train_egoclip.py + base_trainer.py).
+                  Synthetic data when --synthetic is given.
+  egomcq        — EgoMCQ zero-shot validation (configs/eval/egomcq.json flow,
+                  trainer_egoclip.py:202-313).
+  extract       — dense window features for MQ/NLQ/QFVS (test_mq.py:25-86).
+  ft-epic       — EK-100 MIR dual-encoder fine-tune (multinode_train_epic.py).
+  ft-charades   — Charades-Ego dual-encoder fine-tune
+                  (multinode_train_charades.py).
+  bench         — one train-step throughput measurement (same as bench.py).
 """
 
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import glob
 import json
+import os
 import sys
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -57,11 +65,9 @@ def load_train_config(path=None, overrides=None):
             for k, v in data.items():
                 if k not in fields:
                     raise KeyError(f"unknown config key {k} for {cls.__name__}")
-                ftype = fields[k].type
                 if isinstance(v, dict):
-                    sub_cls = type(getattr(cls(), k)) if False else None
-                    # nested dataclass types resolved from defaults
-                    default = getattr(C.TrainConfig(), k, None)
+                    # nested dataclass types resolved from this level's default
+                    default = getattr(cls(), k)
                     kwargs[k] = build(type(default), v)
                 else:
                     kwargs[k] = tuple(v) if isinstance(v, list) else v
@@ -69,6 +75,130 @@ def load_train_config(path=None, overrides=None):
 
         cfg = build(C.TrainConfig, raw)
     return _apply_overrides(cfg, overrides)
+
+
+def _load_params(model, cfg, ckpt_path: Optional[str], seed: int = 0):
+    """Initialize the model and overlay a checkpoint if given.
+
+    `ckpt_path` may be a torch .pth reference checkpoint (imported with
+    temporal-embed inflation) or an orbax directory saved by `pretrain`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    v = cfg.model.video
+    video = jnp.zeros((1, v.num_frames, v.img_size, v.img_size, v.in_chans),
+                      jnp.float32)
+    ids = jnp.zeros((1, cfg.max_text_len), jnp.int32)
+    mask = jnp.ones((1, cfg.max_text_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), video, ids, mask,
+                        method=model.init_all)["params"]
+    if not ckpt_path:
+        return params
+    if os.path.isdir(ckpt_path):
+        from egovlpv2_tpu.train.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(ckpt_path)
+        # restore just the params subtree from the saved TrainState template
+        restored = mngr.restore_params(params)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint found under {ckpt_path}")
+        return restored
+    from egovlpv2_tpu.train.checkpoint_import import (
+        import_reference_checkpoint, load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(ckpt_path)
+    params, report = import_reference_checkpoint(
+        sd, params, num_frames=v.num_frames
+    )
+    print(f"imported {len(report['imported'])} tensors from {ckpt_path} "
+          f"({len(report['skipped'])} skipped)")
+    return params
+
+
+class Monitor:
+    """Monitored-metric best tracking + early stop
+    (base_trainer.py:284-292,366-388): spec 'max:key' or 'min:key'."""
+
+    def __init__(self, spec: str, early_stop: int = 0):
+        mode, _, key = spec.partition(":")
+        if mode not in ("min", "max") or not key:
+            raise ValueError(f"monitor spec must be 'min:key' or 'max:key', got {spec!r}")
+        self.mode, self.key = mode, key
+        self.early_stop = early_stop
+        self.best: Optional[float] = None
+        self.not_improved = 0
+
+    def update(self, metrics: Dict[str, float]) -> bool:
+        """Returns True when this is a new best. Missing key = not improved."""
+        val = metrics.get(self.key)
+        if val is None:
+            self.not_improved += 1
+            return False
+        improved = (
+            self.best is None
+            or (self.mode == "max" and val > self.best)
+            or (self.mode == "min" and val < self.best)
+        )
+        if improved:
+            self.best = val
+            self.not_improved = 0
+        else:
+            self.not_improved += 1
+        return improved
+
+    @property
+    def should_stop(self) -> bool:
+        return self.early_stop > 0 and self.not_improved >= self.early_stop
+
+
+def _make_egomcq_batches(args, cfg, tokenizer_name: str, batch_size: int = 4):
+    """Returns callable(epoch) -> iterator of egomcq eval batches
+    (video5/ids/mask/answer/type), real or synthetic."""
+    from egovlpv2_tpu.data.loader import DataLoader, Tokenizer
+
+    tok = Tokenizer(tokenizer_name, max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+
+    if getattr(args, "val_meta", None) or getattr(args, "meta", None):
+        from egovlpv2_tpu.data.datasets import EgoMCQDataset
+
+        meta = getattr(args, "val_meta", None) or args.meta
+        data = getattr(args, "val_data", None) or args.data
+        ds = EgoMCQDataset(meta, data, num_frames=cfg.model.video.num_frames,
+                           loading="lax")
+
+        def post(batch):
+            enc = tok(batch.pop("text"))
+            return {"video5": batch["video5"], "ids": enc["text_ids"],
+                    "mask": enc["text_mask"], "answer": batch["answer"],
+                    "type": batch["type"]}
+
+        loader = DataLoader(ds, batch_size, post_fn=post, drop_last=False,
+                            num_workers=getattr(args, "num_workers", 4))
+        return loader.epoch
+
+    # synthetic smoke batches
+    v = cfg.model.video
+    n_batches = getattr(args, "val_batches", 2)
+
+    def batches(epoch: int = 0):
+        rng = np.random.default_rng(1234 + epoch)
+        for _ in range(n_batches):
+            texts = ["someone does something"] * batch_size
+            enc = tok(texts)
+            yield {
+                "video5": rng.standard_normal(
+                    (batch_size, 5, v.num_frames, v.img_size, v.img_size,
+                     v.in_chans)).astype(np.float32),
+                "ids": enc["text_ids"],
+                "mask": enc["text_mask"],
+                "answer": rng.integers(0, 5, batch_size),
+                "type": rng.integers(1, 3, batch_size),
+            }
+
+    return batches
 
 
 def cmd_pretrain(args):
@@ -84,14 +214,20 @@ def cmd_pretrain(args):
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     stats = StatsWriter(args.save_dir) if args.save_dir else None
     ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None
+    monitor = Monitor(args.monitor, args.early_stop) if args.monitor else None
 
     with mesh:
         model, init_state = build_pretrain(cfg, mesh=mesh)
         if args.synthetic:
-            batch = synthetic_batch(cfg, cfg.global_batch_size)
-            batches = lambda epoch: iter(
-                lambda: shard_batch(batch, mesh), None
-            )
+            def batches(epoch):
+                return (
+                    shard_batch(
+                        synthetic_batch(cfg, cfg.global_batch_size,
+                                        np.random.default_rng(epoch * 100003 + i)),
+                        mesh,
+                    )
+                    for i in range(args.steps_per_epoch)
+                )
         else:
             from egovlpv2_tpu.data.datasets import EgoClipDataset
             from egovlpv2_tpu.data.loader import (
@@ -100,16 +236,36 @@ def cmd_pretrain(args):
 
             ds = EgoClipDataset(
                 args.meta, args.data, num_frames=cfg.model.video.num_frames,
-                neg_param=60,
+                neg_param=args.neg_param,
             )
-            tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len)
+            tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
+                            vocab_cap=cfg.model.text.vocab_size)
+            # scene negatives concat a second clip per item at collate time
+            # (trainer_egoclip.py:112-116), so the loader batch is halved to
+            # keep the device-visible batch at global_batch_size.
+            loader_batch = cfg.global_batch_size // (
+                2 if args.neg_param else 1
+            )
             loader = DataLoader(
-                ds, cfg.global_batch_size // (2 if True else 1),
+                ds, loader_batch,
                 sampler=HostShardSampler(len(ds), jax.process_count(),
                                          jax.process_index(), seed=cfg.seed),
+                num_workers=args.num_workers,
                 post_fn=pretrain_post_fn(tok, cfg.mlm_prob),
             )
-            batches = loader.epoch
+
+            def batches(epoch):
+                return (shard_batch(b, mesh) for b in loader.epoch(epoch))
+
+        # per-epoch EgoMCQ validation (trainer_egoclip.py:194-195)
+        val_batches = None
+        if args.val_meta or args.val_synthetic:
+            from egovlpv2_tpu.tasks.egomcq import (
+                evaluate_egomcq, make_egomcq_eval_step,
+            )
+
+            val_batches = _make_egomcq_batches(args, cfg, args.tokenizer)
+            eval_step = make_egomcq_eval_step(model, with_vtm=not args.val_vtc_only)
 
         state, step_fn = init_state(
             synthetic_batch(cfg, cfg.global_batch_size), seed=cfg.seed
@@ -126,14 +282,7 @@ def cmd_pretrain(args):
         tp = Throughput(cfg.global_batch_size)
         step = int(state.step)
         for epoch in range(args.epochs):
-            if args.synthetic:
-                it = (shard_batch(synthetic_batch(cfg, cfg.global_batch_size,
-                                                  np.random.default_rng(i)),
-                                  mesh)
-                      for i in range(args.steps_per_epoch))
-            else:
-                it = batches(epoch)
-            for batch in it:
+            for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
                 step += 1
                 if step % args.log_every == 0:
@@ -145,11 +294,191 @@ def cmd_pretrain(args):
                         stats.write(step, m)
                 if ckpt and step % args.ckpt_every == 0:
                     ckpt.save(step, jax.device_get(state))
+            epoch_metrics = {k: float(v) for k, v in metrics.items()}
+            if val_batches is not None:
+                val = evaluate_egomcq(eval_step, state.params, val_batches(epoch))
+                epoch_metrics.update(val)
+                log.info("epoch %d val: %s", epoch,
+                         {k: round(v, 3) for k, v in val.items()})
+                if stats:
+                    stats.write(step, {f"val_{k}": v for k, v in val.items()})
+            is_best = monitor.update(epoch_metrics) if monitor else False
+            if ckpt:
+                ckpt.save(step, jax.device_get(state), metrics=epoch_metrics,
+                          is_best=is_best)
+            if monitor and monitor.should_stop:
+                log.info("early stop at epoch %d (no improvement in %d epochs, "
+                         "best %s=%.4f)", epoch, monitor.not_improved,
+                         monitor.key, monitor.best)
+                break
+        if ckpt:
+            ckpt.wait()
+    log.info("done at step %d", step)
+
+
+def cmd_egomcq(args):
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.tasks.egomcq import evaluate_egomcq, make_egomcq_eval_step
+
+    cfg = load_train_config(args.config, args.set)
+    model = EgoVLPv2(cfg.model)
+    params = _load_params(model, cfg, args.ckpt)
+    batches = _make_egomcq_batches(args, cfg, args.tokenizer,
+                                   batch_size=args.batch_size)
+    eval_step = make_egomcq_eval_step(model, with_vtm=not args.vtc_only)
+    metrics = evaluate_egomcq(eval_step, params, batches(0))
+    print(json.dumps({k: round(v, 4) for k, v in metrics.items()}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=2)
+
+
+def cmd_extract(args):
+    """MQ-style dense window features: one .npy/.pt per clip (test_mq.py)."""
+    from egovlpv2_tpu.data import readers
+    from egovlpv2_tpu.data import transforms
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.tasks.extract import FeatureExtractor, save_features
+
+    cfg = load_train_config(args.config, args.set)
+    model = EgoVLPv2(cfg.model)
+    params = _load_params(model, cfg, args.ckpt)
+    ex = FeatureExtractor(model, params, inner_batch=args.inner_batch)
+
+    paths = sorted(glob.glob(args.videos))
+    if not paths:
+        raise FileNotFoundError(f"no videos match {args.videos!r}")
+    os.makedirs(args.out, exist_ok=True)
+    for path in paths:
+        uid = os.path.splitext(os.path.basename(path))[0]
+        total = readers.get_video_len(path)
+        frames, _ = readers.read_frames_cv2(path, max(total, 1), sample="uniform")
+        frames = transforms.eval_transform(np.asarray(frames), size=args.input_res)
+        feats = ex.clip_features(frames, cfg.model.video.num_frames)
+        save_features(os.path.join(args.out, uid), feats)
+        print(f"{uid}: {feats.shape}")
+
+
+def _run_dual_ft(args, dataset_name: str):
+    """Shared driver for ft-epic / ft-charades (multinode_train_epic.py /
+    multinode_train_charades.py capability)."""
+    import jax
+
+    from egovlpv2_tpu.core.config import LossConfig
+    from egovlpv2_tpu.data.loader import (
+        DataLoader, HostShardSampler, Tokenizer,
+    )
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.parallel.mesh import make_mesh, shard_batch
+    from egovlpv2_tpu.tasks.retrieval import (
+        epoch_milestone_schedule, make_dual_train_step,
+    )
+    from egovlpv2_tpu.train.checkpoint import CheckpointManager
+    from egovlpv2_tpu.train.optimizer import make_optimizer
+    from egovlpv2_tpu.train.step import TrainState
+    from egovlpv2_tpu.utils.logging import StatsWriter, Throughput, setup_logging
+
+    log = setup_logging(args.save_dir)
+    cfg = load_train_config(args.config, args.set)
+    # retrieval fine-tunes use the small projections + Dual loss
+    loss_type = "AdaptiveMaxMargin" if dataset_name == "epic" else "NormSoftmax"
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, projection="small",
+                                  projection_dim=256, with_itm_head=False,
+                                  with_mlm_head=False),
+        loss=dataclasses.replace(cfg.loss, type=loss_type),
+        max_text_len=30,  # fine-tunes tokenize at 30 (trainer_epic.py:134)
+    )
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    model = EgoVLPv2(cfg.model)
+    params = _load_params(model, cfg, args.ckpt)
+    tx = make_optimizer(cfg.optim, params)
+    stats = StatsWriter(args.save_dir) if args.save_dir else None
+    ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None
+
+    tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+
+    if args.synthetic:
+        v = cfg.model.video
+
+        def batches(epoch):
+            rng = np.random.default_rng(epoch)
+            for _ in range(args.steps_per_epoch):
+                texts = ["someone does something"] * cfg.global_batch_size
+                enc = tok(texts)
+                b = {
+                    "video": rng.standard_normal(
+                        (cfg.global_batch_size, v.num_frames, v.img_size,
+                         v.img_size, v.in_chans)).astype(np.float32),
+                    "text_ids": enc["text_ids"],
+                    "text_mask": enc["text_mask"],
+                }
+                if dataset_name == "epic":
+                    b["relevancy"] = np.eye(cfg.global_batch_size,
+                                            dtype=np.float32)
+                yield shard_batch(b, mesh)
+    else:
+        from egovlpv2_tpu.data.datasets import (
+            CharadesEgoDataset, EpicKitchensMIRDataset,
+        )
+
+        if dataset_name == "epic":
+            ds = EpicKitchensMIRDataset(
+                args.meta, args.data, split="train",
+                num_frames=cfg.model.video.num_frames)
+        else:
+            ds = CharadesEgoDataset(
+                args.meta, args.data, split="train",
+                num_frames=cfg.model.video.num_frames)
+
+        def post(batch):
+            enc = tok(batch.pop("text"))
+            batch.update(enc)
+            return batch
+
+        loader = DataLoader(
+            ds, cfg.global_batch_size,
+            sampler=HostShardSampler(len(ds), jax.process_count(),
+                                     jax.process_index(), seed=cfg.seed),
+            num_workers=args.num_workers, post_fn=post,
+        )
+
+        def batches(epoch):
+            return (shard_batch(b, mesh) for b in loader.epoch(epoch))
+
+    with mesh:
+        step_fn = make_dual_train_step(model, cfg, tx, mesh=mesh)
+        state = TrainState(params, tx.init(params),
+                           jax.numpy.zeros((), jax.numpy.int32),
+                           jax.random.PRNGKey(cfg.seed))
+        tp = Throughput(cfg.global_batch_size)
+        step = 0
+        for epoch in range(args.epochs):
+            for batch in batches(epoch):
+                state, metrics = step_fn(state, batch)
+                step += 1
+                if step % args.log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(tp.tick())
+                    log.info("step %d: %s", step,
+                             {k: round(v, 4) for k, v in m.items()})
+                    if stats:
+                        stats.write(step, m)
             if ckpt:
                 ckpt.save(step, jax.device_get(state))
         if ckpt:
             ckpt.wait()
     log.info("done at step %d", step)
+
+
+def cmd_ft_epic(args):
+    _run_dual_ft(args, "epic")
+
+
+def cmd_ft_charades(args):
+    _run_dual_ft(args, "charades")
 
 
 def cmd_bench(args):
@@ -158,24 +487,72 @@ def cmd_bench(args):
     bench.main()
 
 
+def _add_common(p, with_data=True):
+    p.add_argument("--config", default=None)
+    p.add_argument("--set", nargs="*", default=[], help="dotted.key=value")
+    p.add_argument("--tokenizer", default="roberta-base")
+    if with_data:
+        p.add_argument("--meta", default=None)
+        p.add_argument("--data", default=None)
+        p.add_argument("--num_workers", type=int, default=4)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("egovlpv2-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("pretrain")
-    p.add_argument("--config", default=None)
-    p.add_argument("--set", nargs="*", default=[], help="dotted.key=value")
+    _add_common(p)
     p.add_argument("--save_dir", default=None)
-    p.add_argument("--meta", default=None, help="egoclip.csv path")
-    p.add_argument("--data", default=None, help="chunked video root")
-    p.add_argument("--tokenizer", default="roberta-base")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--neg_param", type=int, default=60,
+                   help="scene-negative window seconds; 0 disables")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--steps_per_epoch", type=int, default=10)
     p.add_argument("--log_every", type=int, default=1)
     p.add_argument("--ckpt_every", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--val_meta", default=None, help="egomcq.json for per-epoch val")
+    p.add_argument("--val_data", default=None)
+    p.add_argument("--val_synthetic", action="store_true")
+    p.add_argument("--val_batches", type=int, default=2)
+    p.add_argument("--val_vtc_only", action="store_true")
+    p.add_argument("--monitor", default="",
+                   help="'max:key' or 'min:key' over epoch metrics, e.g. "
+                        "max:ensemble/Inter-video or min:loss_total")
+    p.add_argument("--early_stop", type=int, default=0,
+                   help="stop after N epochs without improvement (0=off)")
     p.set_defaults(fn=cmd_pretrain)
+
+    e = sub.add_parser("egomcq")
+    _add_common(e)
+    e.add_argument("--ckpt", default=None, help="torch .pth or orbax dir")
+    e.add_argument("--batch_size", type=int, default=4)
+    e.add_argument("--val_batches", type=int, default=2,
+                   help="synthetic-mode batch count")
+    e.add_argument("--vtc_only", action="store_true")
+    e.add_argument("--out", default=None, help="write metrics JSON here")
+    e.set_defaults(fn=cmd_egomcq)
+
+    x = sub.add_parser("extract")
+    _add_common(x, with_data=False)
+    x.add_argument("--ckpt", default=None)
+    x.add_argument("--videos", required=True, help="glob of video files")
+    x.add_argument("--out", required=True, help="output feature dir")
+    x.add_argument("--inner_batch", type=int, default=64)
+    x.add_argument("--input_res", type=int, default=224)
+    x.set_defaults(fn=cmd_extract)
+
+    for name, fn in (("ft-epic", cmd_ft_epic), ("ft-charades", cmd_ft_charades)):
+        f = sub.add_parser(name)
+        _add_common(f)
+        f.add_argument("--ckpt", default=None)
+        f.add_argument("--save_dir", default=None)
+        f.add_argument("--synthetic", action="store_true")
+        f.add_argument("--epochs", type=int, default=1)
+        f.add_argument("--steps_per_epoch", type=int, default=4)
+        f.add_argument("--log_every", type=int, default=1)
+        f.set_defaults(fn=fn)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

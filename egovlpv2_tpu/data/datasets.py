@@ -25,7 +25,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from egovlpv2_tpu.data import readers, transforms
+from egovlpv2_tpu.data import readers, sampling, transforms
 
 NOUN_DIM = 582
 VERB_DIM = 118
@@ -176,7 +176,8 @@ class EpicKitchensMIRDataset:
     """EK-100 multi-instance retrieval (train: relevancy-sampled captions)."""
 
     def __init__(self, meta_dir: str, data_dir: str, split: str = "train",
-                 num_frames: int = 16, input_res: int = 224, seed: int = 0):
+                 num_frames: int = 16, input_res: int = 224, seed: int = 0,
+                 sliding_window_stride: int = -1):
         import pandas as pd
 
         self.split = split
@@ -188,6 +189,18 @@ class EpicKitchensMIRDataset:
         self.meta = pd.read_csv(
             os.path.join(meta_dir, f"EPIC_100_retrieval_{tag}.csv")
         )
+        # test-time sliding-window expansion (_fix_temporal_samples,
+        # base_dataset.py:82-106): each video row -> one entry per window
+        # offset; eval reduces per-video by pooling over `idx` groups.
+        self.windows = None
+        if sliding_window_stride != -1 and split != "train":
+            self.windows = []
+            for row in range(len(self.meta)):
+                s = self.meta.iloc[row]
+                vlen = int(s["stop_frame"]) - int(s["start_frame"])
+                for fs in sampling.sliding_window_fix_starts(
+                        vlen, num_frames, sliding_window_stride):
+                    self.windows.append((row, fs))
         rel_path = os.path.join(
             meta_dir, "relevancy",
             f"caption_relevancy_EPIC_100_retrieval_{tag}.pkl",
@@ -203,16 +216,21 @@ class EpicKitchensMIRDataset:
             )
 
     def __len__(self):
-        return len(self.meta)
+        return len(self.windows) if self.windows is not None else len(self.meta)
 
     def __getitem__(self, item) -> Dict[str, Any]:
+        fix_start = None
+        if self.windows is not None:
+            row, fix_start = self.windows[item % len(self.windows)]
+            item = row
         sample = self.meta.iloc[item % len(self.meta)]
         pid, vid = sample["participant_id"], sample["video_id"]
         frame_dir = os.path.join(self.data_dir, pid, "rgb_frames", vid)
         start, stop = int(sample["start_frame"]), int(sample["stop_frame"])
         clip, _ = readers.read_frames_cv2_epic(
             frame_dir, start, stop, self.num_frames,
-            sample="rand" if self.split == "train" else "uniform", rng=self.rng,
+            sample="rand" if self.split == "train" else "uniform",
+            fix_start=fix_start, rng=self.rng,
         )
         # EPIC uses the 0-255 normalization regime
         clip255 = clip * 255.0
@@ -246,7 +264,8 @@ class CharadesEgoDataset:
     NUM_CLASSES = 157
 
     def __init__(self, meta_dir: str, data_dir: str, split: str = "train",
-                 num_frames: int = 32, input_res: int = 224, seed: int = 0):
+                 num_frames: int = 32, input_res: int = 224, seed: int = 0,
+                 sliding_window_stride: int = -1):
         import pandas as pd
 
         tag = {"train": "metadata_train", "val": "metadata_val",
@@ -257,11 +276,26 @@ class CharadesEgoDataset:
         self.num_frames = num_frames
         self.input_res = input_res
         self.rng = np.random.default_rng(seed)
+        # test-time sliding-window expansion (base_dataset.py:82-106)
+        self.windows = None
+        if sliding_window_stride != -1 and split != "train":
+            self.windows = []
+            for row in range(len(self.meta)):
+                path = os.path.join(
+                    self.data_dir, str(self.meta.iloc[row]["id"]) + ".mp4")
+                vlen = readers.get_video_len(path)
+                for fs in sampling.sliding_window_fix_starts(
+                        vlen, num_frames, sliding_window_stride):
+                    self.windows.append((row, fs))
 
     def __len__(self):
-        return len(self.meta)
+        return len(self.windows) if self.windows is not None else len(self.meta)
 
     def __getitem__(self, item) -> Dict[str, Any]:
+        fix_start = None
+        if self.windows is not None:
+            row, fix_start = self.windows[item % len(self.windows)]
+            item = row
         sample = self.meta.iloc[item % len(self.meta)]
         path = os.path.join(self.data_dir, str(sample["id"]) + ".mp4")
         start = sample.get("t_start", None)
@@ -269,7 +303,7 @@ class CharadesEgoDataset:
         clip, _ = readers.read_frames_cv2_charades(
             path, self.num_frames,
             "rand" if self.split == "train" else "uniform",
-            start_sec=start, end_sec=end, rng=self.rng,
+            start_sec=start, end_sec=end, fix_start=fix_start, rng=self.rng,
         )
         if self.split == "train":
             clip = transforms.train_transform(clip, self.rng, size=self.input_res)
@@ -280,7 +314,7 @@ class CharadesEgoDataset:
         for act in actions.split(";"):
             if act.strip():
                 target[int(act.strip().split(" ")[0][1:])] = 1
-        return {"video": clip, "target": target}
+        return {"video": clip, "target": target, "idx": int(item)}
 
 
 class SyntheticVideoTextDataset:

@@ -59,34 +59,84 @@ def default_collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
 
 
 class Tokenizer:
-    """Thin adapter over a HF tokenizer; avoids network when offline.
+    """Thin adapter over a HF tokenizer, with an offline fallback.
 
     The pretrain recipe tokenizes with roberta-base at max_length 15
     (`trainer_egoclip.py:120`); fine-tunes use 30 (`trainer_epic.py:134`).
+    When the HF tokenizer can't be loaded (no cache, no network), a
+    deterministic hash tokenizer with RoBERTa's special-token ids stands in
+    so offline smoke/perf runs still exercise the full pipeline.
     """
 
-    def __init__(self, name_or_path: str = "roberta-base", max_len: int = 15):
-        from transformers import AutoTokenizer
+    # RoBERTa special ids (roberta-base tokenizer config)
+    BOS, PAD, EOS, MASK, VOCAB = 0, 1, 2, 50264, 50265
 
-        self._tok = AutoTokenizer.from_pretrained(name_or_path)
+    def __init__(self, name_or_path: str = "roberta-base", max_len: int = 15,
+                 allow_fallback: bool = True, vocab_cap: Optional[int] = None):
         self.max_len = max_len
+        self.vocab_cap = vocab_cap  # clamp ids for small-vocab smoke models
+        self._tok = None
+        try:
+            from transformers import AutoTokenizer
+
+            try:
+                # cache-only first: avoids multi-second network retry loops
+                # in offline environments
+                self._tok = AutoTokenizer.from_pretrained(
+                    name_or_path, local_files_only=True)
+            except Exception:
+                self._tok = AutoTokenizer.from_pretrained(name_or_path)
+        except Exception:
+            if not allow_fallback:
+                raise
+
+    def _fallback(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
+        import zlib
+
+        L = self.max_len
+        ids = np.full((len(texts), L), self.PAD, np.int32)
+        mask = np.zeros((len(texts), L), np.int32)
+        for r, text in enumerate(texts):
+            toks = [self.BOS]
+            for w in str(text).split():
+                if len(toks) >= L - 1:
+                    break
+                # stable word -> id, avoiding the special ids
+                toks.append(4 + zlib.crc32(w.lower().encode()) % (self.MASK - 8))
+            toks.append(self.EOS)
+            ids[r, : len(toks)] = toks[:L]
+            mask[r, : len(toks)] = 1
+        return {"text_ids": ids, "text_mask": mask}
+
+    def _cap(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.vocab_cap is not None and self.vocab_cap < self.VOCAB:
+            ids = out["text_ids"]
+            out["text_ids"] = np.where(
+                ids < self.vocab_cap, ids, 4 + ids % max(self.vocab_cap - 4, 1)
+            ).astype(np.int32)
+        return out
 
     def __call__(self, texts: Sequence[str]) -> Dict[str, np.ndarray]:
+        if self._tok is None:
+            return self._cap(self._fallback(texts))
         enc = self._tok(
             list(texts), padding="max_length", truncation=True,
             max_length=self.max_len, return_tensors="np",
         )
-        return {
+        return self._cap({
             "text_ids": enc["input_ids"].astype(np.int32),
             "text_mask": enc["attention_mask"].astype(np.int32),
-        }
+        })
 
 
 class DataLoader:
     """Threaded prefetch loader: dataset[i] -> collate -> (optional) post_fn.
 
-    Threads (not processes) because the decode workload releases the GIL in
-    cv2/ffmpeg; a C++ decode service is the planned upgrade path.
+    `num_workers` threads decode items concurrently (cv2/ffmpeg release the
+    GIL); a coordinator thread keeps `prefetch` whole batches in flight and
+    preserves batch order, so consumers see the same stream a sequential
+    loader would produce. Threads, not processes: the hot path is C decode
+    code, and the C++ videoproc library handles the numpy-side transform.
     """
 
     def __init__(
@@ -124,17 +174,55 @@ class DataLoader:
         stop = threading.Event()
 
         def worker():
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    items = [self.dataset[int(i)] for i in batch_idx]
-                    batch = self.collate(items)
-                    if self.post_fn is not None:
-                        batch = self.post_fn(batch)
-                    q.put(batch)
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    # keep `prefetch + 1` whole batches of item-futures in
+                    # flight; batches complete in submission order so the
+                    # output stream is deterministic.
+                    pending: collections.deque = collections.deque()
+                    batch_iter = iter(batches)
+
+                    def submit_one() -> bool:
+                        batch_idx = next(batch_iter, None)
+                        if batch_idx is None:
+                            return False
+                        pending.append(
+                            [ex.submit(self.dataset.__getitem__, int(i))
+                             for i in batch_idx]
+                        )
+                        return True
+
+                    for _ in range(self.prefetch + 1):
+                        if not submit_one():
+                            break
+                    while pending and not stop.is_set():
+                        futs = pending.popleft()
+                        items = [f.result() for f in futs]
+                        submit_one()
+                        batch = self.collate(items)
+                        if self.post_fn is not None:
+                            batch = self.post_fn(batch)
+                        # bounded put with a stop check so an abandoned
+                        # generator can't wedge the producer forever
+                        while not stop.is_set():
+                            try:
+                                q.put(batch, timeout=0.2)
+                                break
+                            except queue.Full:
+                                continue
+                    for futs in pending:
+                        for f in futs:
+                            f.cancel()
             finally:
-                q.put(None)
+                while True:
+                    try:
+                        q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

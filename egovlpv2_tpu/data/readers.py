@@ -126,7 +126,8 @@ def read_frames_cv2_epic(
 
 
 def read_frames_cv2_charades(
-    video_path, num_frames, sample, start_sec=None, end_sec=None, rng=None
+    video_path, num_frames, sample, start_sec=None, end_sec=None, fix_start=None,
+    rng=None,
 ):
     cv2 = _cv2()
     cap = cv2.VideoCapture(video_path)
@@ -134,12 +135,13 @@ def read_frames_cv2_charades(
     vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     fps = cap.get(cv2.CAP_PROP_FPS)
     if not start_sec and not end_sec:
-        idxs = sample_frames(num_frames, vlen, sample=sample, rng=rng)
+        idxs = sample_frames(num_frames, vlen, sample=sample,
+                             fix_start=fix_start, rng=rng)
     else:
         start_f = max(0, int(start_sec * fps))
         end_f = min(int(end_sec * fps), vlen)
         idxs = sample_frames_start_end(num_frames, start_f, end_f, sample=sample,
-                                       rng=rng)
+                                       fix_start=fix_start, rng=rng)
     frames, ok_idxs = [], []
     for index in idxs:
         cap.set(cv2.CAP_PROP_POS_FRAMES, index - 1)

@@ -61,6 +61,24 @@ def sample_frames_start_end(
     raise NotImplementedError(sample)
 
 
+def sliding_window_fix_starts(
+    vlen: int, num_frames: int, stride: int
+) -> List[int]:
+    """Test-time sliding-window expansion offsets.
+
+    Mirrors `_fix_temporal_samples` (base_dataset.py:82-89): each video
+    expands into one entry per fix_start in
+    arange(0, vlen // (min(vlen, num_frames) + 1), stride); every window
+    shifts the per-interval sampled frame by its fix_start. Deviation: the
+    reference's arange can be empty for very short videos (pandas explode
+    then yields a NaN fix_start); here short videos keep one fix_start=0
+    window instead.
+    """
+    acc = min(int(vlen), int(num_frames))
+    upper = int(vlen / (acc + 1))
+    return list(range(0, max(upper, 1), max(int(stride), 1)))
+
+
 def sample_frames_clips(start: int, end: int, vlen: int, acc_samples: int) -> List[int]:
     """Midpoint sampling within [start, end] (base_dataset.py:197-207)."""
     start = max(0, start)

@@ -210,6 +210,42 @@ class SpaceTimeBlock(nn.Module):
         return space_residual + dp(mlp_out, deterministic)
 
 
+class PatchEmbed(nn.Module):
+    """Patchify as space-to-depth + one MXU matmul.
+
+    Mathematically identical to the reference's stride-p Conv2d patchify
+    (`video_transformer.py:61` VideoPatchEmbed) but lowered explicitly to a
+    single [B*F*N, p*p*C] x [p*p*C, D] matmul: XLA maps this straight onto
+    the MXU, where the convolution formulation showed up as ~10% of the
+    round-1 step profile. The param layout matches flax nn.Conv (HWIO kernel
+    + bias) so checkpoints and the torch importer are unchanged.
+    """
+
+    embed_dim: int
+    patch_size: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """[BF, H, W, C] -> [BF, N, D] (row-major patches)."""
+        p = self.patch_size
+        bf, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, c, self.embed_dim), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.embed_dim,), jnp.float32)
+        x = x.reshape(bf, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # [BF, Hp, Wp, p, p, C]
+        x = x.reshape(bf, (h // p) * (w // p), p * p * c)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype)
+        return x @ kernel.reshape(p * p * c, self.embed_dim) + bias
+
+
 class SpaceTimeViT(nn.Module):
     """The full video tower. Exposes staged execution for the fused paths."""
 
@@ -221,12 +257,8 @@ class SpaceTimeViT(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.patch_proj = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
+        self.patch_proj = PatchEmbed(
+            cfg.embed_dim, cfg.patch_size, dtype=self.dtype,
             name="patch_embed",
         )
         self.cls_token = self.param(
@@ -270,9 +302,7 @@ class SpaceTimeViT(nn.Module):
         """[B, F, H, W, C] -> [B, F*N, D] (frame-major, row-major patches)."""
         b, f, hh, ww, c = video.shape
         x = video.reshape(b * f, hh, ww, c)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-        x = self.patch_proj(x)  # [B*F, H/p, W/p, D]
+        x = self.patch_proj(x)  # [B*F, N, D]
         return x.reshape(b, f * self.cfg.patches_per_frame, self.cfg.embed_dim)
 
     def total_pos_embed(self, num_frames: int, seq_len: int) -> jax.Array:

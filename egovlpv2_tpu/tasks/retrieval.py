@@ -126,6 +126,28 @@ def make_encoders(model: EgoVLPv2):
     return encode_text, encode_video
 
 
+def pool_windows(v: np.ndarray, idx: np.ndarray, *others: np.ndarray):
+    """Reduce sliding-window entries back to per-video rows.
+
+    The test-time expansion (base_dataset.py:82-106 / datasets with
+    sliding_window_stride != -1) emits several windows per video sharing the
+    same `idx`; video embeddings are mean-pooled per group, while `others`
+    (texts, targets — identical within a group) keep their first row.
+    Returns (v_pooled, unique_idx, *others_pooled).
+    """
+    uniq, inverse = np.unique(idx, return_inverse=True)
+    pooled = np.zeros((len(uniq), v.shape[1]), np.float64)
+    np.add.at(pooled, inverse, v.astype(np.float64))
+    pooled /= np.bincount(inverse)[:, None]
+    out = [pooled.astype(v.dtype), uniq]
+    for o in others:
+        first = np.zeros((len(uniq),) + o.shape[1:], o.dtype)
+        # reversed so the FIRST row of each group wins
+        first[inverse[::-1]] = o[::-1]
+        out.append(first)
+    return tuple(out)
+
+
 def align_mir_similarity(
     sim_text_video: np.ndarray,  # [N, N] rows = gathered texts, cols = videos
     idx_arr: np.ndarray,  # [N] dataset indices in gathered order
@@ -171,6 +193,9 @@ def evaluate_mir(
     t = np.concatenate(t_all)
     v = np.concatenate(v_all)
     idx = np.concatenate(idx_all)
+    if len(np.unique(idx)) != len(idx):
+        # sliding-window expansion active: pool windows per video
+        v, idx, t = pool_windows(v, idx, t)
     sim_tv = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v)))
     if video_ids is not None and sentence_video_ids is not None:
         sim = align_mir_similarity(sim_tv, idx, video_ids, sentence_video_ids)
@@ -196,12 +221,19 @@ def evaluate_charades(
         encode_text(params, jnp.asarray(class_prompt_ids),
                     jnp.asarray(class_prompt_mask))
     )
-    sims, targets = [], []
+    v_all, targets, idx_all = [], [], []
     for batch in batches:
-        v = np.asarray(encode_video(params, batch["video"]))
-        s = np.asarray(sim_matrix(jnp.asarray(cls_emb), jnp.asarray(v)))  # [157, B]
-        sims.append(s.T)
+        v_all.append(np.asarray(encode_video(params, batch["video"])))
         targets.append(np.asarray(batch["target"]))
-    submission = np.concatenate(sims)
+        if "idx" in batch:
+            idx_all.append(np.asarray(batch["idx"]))
+    v = np.concatenate(v_all)
     gt = np.concatenate(targets)
+    if idx_all:
+        idx = np.concatenate(idx_all)
+        if len(np.unique(idx)) != len(idx):
+            v, _, gt = pool_windows(v, idx, gt)
+    submission = np.asarray(
+        sim_matrix(jnp.asarray(cls_emb), jnp.asarray(v))
+    ).T  # [N_videos, 157]
     return charades_map(submission, gt)

@@ -45,6 +45,30 @@ class CheckpointManager:
             return None
         return self._mngr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_params(self, params_template=None, step: Optional[int] = None,
+                       prefer_best: bool = True):
+        """Restore only the `params` subtree of a saved TrainState.
+
+        Used by eval/extract entry points that have no optimizer state. When
+        `prefer_best` and a best pointer exists, that step is restored.
+        Returns None when the directory holds no checkpoint.
+        """
+        if step is None and prefer_best:
+            step = self.best_step()
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            return None
+        # restore as a raw pytree (no template): works for any TrainState
+        # layout without materializing an optimizer-state template
+        raw = self._mngr.restore(step)
+        if hasattr(raw, "params"):
+            return raw.params
+        if isinstance(raw, dict) and "params" in raw:
+            return raw["params"]
+        # NamedTuple saved as a sequence: params is field 0
+        return raw[0]
+
     def best_step(self) -> Optional[int]:
         path = os.path.join(self._dir, "best_step.json")
         if os.path.exists(path):

@@ -8,6 +8,9 @@ cost: a persistent compilation cache is enabled so repeated runs are fast.
 """
 import os
 
+# zero-egress box: make HF hub lookups fail instantly instead of retrying
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,111 @@
+"""End-to-end CLI subcommand tests on synthetic data (tiny config).
+
+Covers the full registered surface the reference exposes as separate entry
+points: pretrain (+ per-epoch EgoMCQ val, monitor-best, early stop), egomcq
+zero-shot eval, extract (window features from an actual mp4), and the dual
+fine-tunes.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from egovlpv2_tpu import cli
+
+TINY = {
+    "model": {
+        "video": {"img_size": 32, "patch_size": 16, "embed_dim": 32,
+                  "depth": 4, "num_heads": 2, "num_frames": 2},
+        "text": {"vocab_size": 256, "hidden_size": 32, "num_layers": 4,
+                 "num_heads": 2, "intermediate_size": 64,
+                 "max_position_embeddings": 40},
+        "fusion": {"num_fuse_block": 2, "dim_video": 32, "dim_text": 32,
+                   "hidden_size": 32},
+        "projection_dim": 64,
+        "remat": False,
+    },
+    "optim": {"max_steps": 20},
+    "global_batch_size": 8,
+    "max_text_len": 12,
+}
+
+
+@pytest.fixture()
+def tiny_config(tmp_path):
+    path = tmp_path / "tiny.json"
+    path.write_text(json.dumps(TINY))
+    return str(path)
+
+
+def test_pretrain_with_val_monitor_and_early_stop(tiny_config, tmp_path):
+    save = tmp_path / "run"
+    cli.main([
+        "pretrain", "--config", tiny_config, "--synthetic",
+        "--epochs", "3", "--steps_per_epoch", "2",
+        "--save_dir", str(save),
+        "--val_synthetic", "--val_batches", "1", "--val_vtc_only",
+        "--monitor", "max:vtc/Inter-video", "--early_stop", "1",
+    ])
+    # monitor-best pointer written by the first (best-so-far) epoch
+    assert (save / "ckpt" / "best_step.json").exists()
+    stats = (save / "stats.txt").read_text().strip().splitlines()
+    assert any("val_vtc/Inter-video" in line for line in stats)
+
+
+def test_egomcq_synthetic(tiny_config, tmp_path, capsys):
+    out = tmp_path / "metrics.json"
+    cli.main([
+        "egomcq", "--config", tiny_config, "--batch_size", "2",
+        "--val_batches", "1", "--vtc_only", "--out", str(out),
+    ])
+    metrics = json.loads(out.read_text())
+    assert "vtc/Inter-video" in metrics or "vtc/Intra-video" in metrics
+
+
+def test_egomcq_restores_orbax_checkpoint(tiny_config, tmp_path):
+    save = tmp_path / "run2"
+    cli.main([
+        "pretrain", "--config", tiny_config, "--synthetic",
+        "--epochs", "1", "--steps_per_epoch", "1", "--save_dir", str(save),
+    ])
+    out = tmp_path / "m.json"
+    cli.main([
+        "egomcq", "--config", tiny_config, "--ckpt", str(save / "ckpt"),
+        "--batch_size", "2", "--val_batches", "1", "--vtc_only",
+        "--out", str(out),
+    ])
+    assert "vtc/" in next(iter(json.loads(out.read_text())))
+
+
+def test_extract_from_mp4(tiny_config, tmp_path):
+    import cv2
+
+    vid_dir = tmp_path / "vids"
+    vid_dir.mkdir()
+    w = cv2.VideoWriter(str(vid_dir / "clip0.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 30, (48, 48))
+    assert w.isOpened()
+    rs = np.random.RandomState(0)
+    for _ in range(20):
+        w.write(rs.randint(0, 255, (48, 48, 3), np.uint8))
+    w.release()
+
+    out = tmp_path / "feats"
+    cli.main([
+        "extract", "--config", tiny_config,
+        "--videos", str(vid_dir / "*.mp4"), "--out", str(out),
+        "--inner_batch", "4", "--input_res", "32",
+    ])
+    feats = np.load(out / "clip0.npy")
+    # 20 frames at num_frames=2 -> 10 windows, projection_dim=64
+    assert feats.shape == (10, 64)
+
+
+@pytest.mark.parametrize("name", ["ft-epic", "ft-charades"])
+def test_dual_finetune_synthetic(tiny_config, name):
+    cli.main([
+        name, "--config", tiny_config, "--synthetic",
+        "--epochs", "1", "--steps_per_epoch", "2",
+    ])

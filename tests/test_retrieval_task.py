@@ -117,3 +117,89 @@ def test_align_mir_similarity():
     # rows [1, 0, 1] of the canonical text x video matrix
     expected = canonical.T[:, [1, 0, 1]]
     np.testing.assert_array_equal(out, expected)
+
+
+def test_sliding_window_fix_starts_reference_math():
+    from egovlpv2_tpu.data.sampling import sliding_window_fix_starts
+
+    # vlen=100, nf=4: intervals linspace(0,100,5); upper=int(100/5)=20
+    assert sliding_window_fix_starts(100, 4, 5) == [0, 5, 10, 15]
+    # short video: reference arange is empty; we keep one zero-offset window
+    assert sliding_window_fix_starts(3, 4, 5) == [0]
+    # vlen < num_frames: acc = vlen
+    assert sliding_window_fix_starts(10, 16, 2) == [0]
+
+
+def test_pool_windows():
+    from egovlpv2_tpu.tasks.retrieval import pool_windows
+
+    v = np.array([[1.0, 0], [3.0, 0], [5.0, 2.0]], np.float32)
+    t = np.array([[10.0], [10.0], [20.0]], np.float32)
+    idx = np.array([7, 7, 3])
+    vp, uniq, tp = pool_windows(v, idx, t)
+    assert uniq.tolist() == [3, 7]
+    np.testing.assert_allclose(vp, [[5.0, 2.0], [2.0, 0.0]])
+    np.testing.assert_allclose(tp, [[20.0], [10.0]])
+
+
+def test_charades_eval_pools_sliding_windows(setup):
+    model, params, _ = setup
+    rs = np.random.RandomState(3)
+    ids = np.tile([[0, 5, 6, 2, 1, 1, 1, 1]], (3, 1)).astype(np.int32)
+    mask = (ids != 1).astype(np.int32)
+    video = rs.randn(4, 2, 32, 32, 3).astype(np.float32)
+    # windows 0,1 belong to video 0; windows 2,3 to video 1
+    batches_windows = [{
+        "video": video,
+        "target": np.array([[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0]],
+                           np.float32),
+        "idx": np.array([0, 0, 1, 1]),
+    }]
+    m = evaluate_charades(model, params, batches_windows, ids, mask)
+    assert np.isfinite(m["mAP"])
+    # pooling two identical windows must equal the single-window result
+    same = video[[0, 0, 2, 2]]
+    batches_dup = [{
+        "video": same,
+        "target": np.array([[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0]],
+                           np.float32),
+        "idx": np.array([0, 0, 1, 1]),
+    }]
+    batches_single = [{
+        "video": video[[0, 2]],
+        "target": np.array([[1, 0, 0], [0, 1, 0]], np.float32),
+        "idx": np.array([0, 1]),
+    }]
+    m_dup = evaluate_charades(model, params, batches_dup, ids, mask)
+    m_single = evaluate_charades(model, params, batches_single, ids, mask)
+    assert abs(m_dup["mAP"] - m_single["mAP"]) < 1e-6
+
+
+def test_epic_dataset_sliding_window_expansion(tmp_path):
+    import cv2
+    import pandas as pd
+
+    from egovlpv2_tpu.data.datasets import EpicKitchensMIRDataset
+
+    meta = pd.DataFrame([
+        {"participant_id": "P01", "video_id": "P01_01", "start_frame": 1,
+         "stop_frame": 61, "narration": "open door"},
+    ])
+    meta.to_csv(tmp_path / "EPIC_100_retrieval_test.csv", index=False)
+    frame_dir = tmp_path / "P01" / "rgb_frames" / "P01_01"
+    frame_dir.mkdir(parents=True)
+    for i in range(1, 62):
+        img = np.full((40, 40, 3), min(i * 4, 255), np.uint8)
+        cv2.imwrite(str(frame_dir / ("frame_" + str(i).zfill(10) + ".jpg")), img)
+
+    ds = EpicKitchensMIRDataset(str(tmp_path), str(tmp_path), split="test",
+                                num_frames=4, input_res=32,
+                                sliding_window_stride=5)
+    # vlen=60 -> upper=int(60/5)=12 -> fix_starts 0,5,10
+    assert len(ds) == 3
+    items = [ds[i] for i in range(3)]
+    # every window maps back to the same source row for eval pooling
+    assert all(it["idx"] == 0 for it in items)
+    assert items[0]["video"].shape == (4, 32, 32, 3)
+    # different fix_start -> different frames sampled
+    assert not np.allclose(items[0]["video"], items[1]["video"])
