@@ -42,7 +42,19 @@ def ioa_with_anchors(a_min, a_max, box_min, box_max):
 
 
 class EgoMQFeatureDataset:
-    """VSGN inputs from extracted clip features."""
+    """VSGN inputs from extracted clip features.
+
+    Windowing/stitching beyond the reference port: the reference's dataset
+    truncates every clip at `temporal_scale` (EgoMQ/Utils/dataset.py:105-109
+    — `clip_start = 0`, `win_data[:, :num_frms]`), silently dropping moments
+    in longer clips. With `window_stride` set, clips longer than
+    temporal_scale expand into overlapping windows whose proposals map back
+    to clip seconds via `offset_sec` (mq_infer adds it). With `use_vss`,
+    short train clips are self-stitched (VSGN's Video Self-Stitching: an
+    up-scaled copy appended after `stitch_gap`), matching the neighbor
+    re-picking that vsgn.knn_indices already implements from the reference's
+    GCNs.py:32 threshold math.
+    """
 
     MAX_GT = 50
 
@@ -55,6 +67,10 @@ class EgoMQFeatureDataset:
         temporal_scale: int = 928,
         input_feat_dim: int = 4096,
         moment_classes: Optional[str] = None,
+        window_stride: Optional[int] = None,
+        use_vss: bool = False,
+        stitch_gap: int = 30,
+        short_ratio: float = 0.4,
     ):
         with open(clip_anno) as f:
             anno = json.load(f)
@@ -80,30 +96,90 @@ class EgoMQFeatureDataset:
                 with open(moment_classes, "w") as f:
                     json.dump(self.classes, f)
 
+        self.use_vss = use_vss
+        self.stitch_gap = stitch_gap
+        self.short_ratio = short_ratio
+        # expand long clips into overlapping windows (reference truncates)
+        self.items: List = []
+        for name in self.clip_list:
+            if window_stride is None:
+                self.items.append((name, 0))
+                continue
+            info = self.clips[name]
+            feats = load_features(
+                os.path.join(self.feature_path, info.get("clip_id", name)))
+            total = feats.shape[0]
+            duration = info["parent_end_sec"] - info["parent_start_sec"]
+            fps = total / duration
+            last = max(total - self.tscale, 0)
+            offsets = list(range(0, last + 1, window_stride)) or [0]
+            if offsets[-1] != last:
+                offsets.append(last)  # always cover the clip tail
+            for off in offsets:
+                if mode == "train" and info.get("annotations"):
+                    # keep only windows overlapping >=1 moment
+                    lo, hi = off, min(off + self.tscale, total)
+                    keep = any(
+                        ann["end_time"] * fps > lo and ann["start_time"] * fps < hi
+                        for ann in info["annotations"]
+                    )
+                    if not keep:
+                        continue
+                self.items.append((name, off))
+
     def __len__(self):
-        return len(self.clip_list)
+        return len(self.items)
 
     def __getitem__(self, idx) -> Dict[str, Any]:
-        name = self.clip_list[idx]
+        name, offset = self.items[idx]
         info = self.clips[name]
         feats = load_features(
             os.path.join(self.feature_path, info.get("clip_id", name))
         )  # [T, D]
-        t = min(feats.shape[0], self.tscale)
-        video = np.zeros((self.tscale, self.dim), np.float32)
-        video[:t] = feats[:t]
         duration = info["parent_end_sec"] - info["parent_start_sec"]
         fps = feats.shape[0] / duration
+        win = feats[offset : offset + self.tscale]
+        t = win.shape[0]
+        video = np.zeros((self.tscale, self.dim), np.float32)
+        video[:t] = win
         out = {"video": video, "num_frms": np.int32(t), "clip_name": name,
-               "fps": np.float32(fps), "duration": np.float32(duration)}
+               "fps": np.float32(fps), "duration": np.float32(duration),
+               "offset_sec": np.float32(offset / fps)}
         if self.mode != "train":
             return out
 
         gt = []
         for ann in info["annotations"]:
-            s = max(min(t - 1, ann["start_time"] * fps), 0) / self.tscale
-            e = max(min(t - 1, ann["end_time"] * fps), 0) / self.tscale
+            s_f = ann["start_time"] * fps - offset
+            e_f = ann["end_time"] * fps - offset
+            if e_f <= 0 or s_f >= t:  # moment outside this window
+                continue
+            s = max(min(t - 1, s_f), 0) / self.tscale
+            e = max(min(t - 1, e_f), 0) / self.tscale
             gt.append([s, e, float(self.classes[ann["label"]])])
+        if not gt:
+            # reference parity fallback (dataset.py:127-133 clamps everything
+            # into [0, num_frms-1], degenerate boxes included)
+            for ann in info["annotations"]:
+                s = max(min(t - 1, ann["start_time"] * fps - offset), 0)
+                e = max(min(t - 1, ann["end_time"] * fps - offset), 0)
+                gt.append([s / self.tscale, e / self.tscale,
+                           float(self.classes[ann["label"]])])
+
+        if self.use_vss and gt and t <= self.short_ratio * self.tscale:
+            # VSS self-stitch: x2 up-scaled copy after stitch_gap; the model
+            # side bounds graph neighbors at (num_frms + gap) (vsgn.py).
+            start2 = t + self.stitch_gap
+            copy = np.repeat(win, 2, axis=0)
+            m = min(copy.shape[0], self.tscale - start2)
+            if m > 0:
+                video[start2 : start2 + m] = copy[:m]
+                for s, e, c in list(gt):
+                    s2 = start2 + 2 * s * self.tscale
+                    e2 = start2 + 2 * e * self.tscale
+                    if e2 < start2 + m:  # copy moment fully inside canvas
+                        gt.append([s2 / self.tscale, e2 / self.tscale, c])
+                out["video"] = video
         gt = np.asarray(gt, np.float32)
 
         gap = 1.0 / self.tscale

@@ -69,6 +69,7 @@ def proposals_from_outputs(
     temporal_scale: int,
     nms_thr: float = 0.4,
     score_thresh: float = 5e-9,
+    offset_sec: float = 0.0,
 ) -> List[Dict]:
     """Per-class selection + stage-2 boundary rescoring + NMS (Infer.py:88-134)."""
     loc = locations.copy()
@@ -97,8 +98,9 @@ def proposals_from_outputs(
         for i in keep:
             results.append({
                 "video_id": clip_id,
-                "t_start": float(dets[i, 0] / fps),
-                "t_end": float(dets[i, 1] / fps),
+                # offset_sec maps windowed-clip proposals back to clip time
+                "t_start": float(dets[i, 0] / fps) + offset_sec,
+                "t_end": float(dets[i, 1] / fps) + offset_sec,
                 "score": float(dets[i, 2]),
                 "label": int(cls),
             })

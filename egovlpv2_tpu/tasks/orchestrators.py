@@ -35,6 +35,8 @@ def run_egomq(
     input_feat_dim: int = 4096,
     num_levels: int = 5,
     tiou_thresholds: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5),
+    window_stride: Optional[int] = None,
+    use_vss: bool = False,
 ) -> Dict[str, float]:
     """Train VSGN on extracted features, infer proposals, detection mAP."""
     from egovlpv2_tpu.data.loader import DataLoader
@@ -45,11 +47,13 @@ def run_egomq(
         clip_anno, feature_path, subset="train", mode="train",
         temporal_scale=temporal_scale, input_feat_dim=input_feat_dim,
         moment_classes=os.path.join(out_dir, "moment_classes.json"),
+        window_stride=window_stride, use_vss=use_vss,
     )
     val_ds = EgoMQFeatureDataset(
         clip_anno, feature_path, subset="val", mode="train",
         temporal_scale=temporal_scale, input_feat_dim=input_feat_dim,
         moment_classes=os.path.join(out_dir, "moment_classes.json"),
+        window_stride=window_stride, use_vss=use_vss,
     )
     num_classes = len(train_ds.classes)
     model = vsgn.VSGN(
@@ -85,10 +89,12 @@ def run_egomq(
         clip_anno, feature_path, subset="val", mode="inference",
         temporal_scale=temporal_scale, input_feat_dim=input_feat_dim,
         moment_classes=os.path.join(out_dir, "moment_classes.json"),
+        window_stride=window_stride,
     )
     predict = mq_infer.make_vsgn_predict(model)
     predictions: List[Dict] = []
     ground_truth: List[Dict] = []
+    seen_clips = set()
     for i in range(len(infer_ds)):
         item = infer_ds[i]
         probs, adjusted, start, end = predict(
@@ -98,7 +104,11 @@ def run_egomq(
             np.asarray(probs[0]), np.asarray(adjusted[0]), np.asarray(start[0]),
             np.asarray(end[0]), int(item["num_frms"]), float(item["fps"]),
             item["clip_name"], temporal_scale,
+            offset_sec=float(item["offset_sec"]),
         )
+        if item["clip_name"] in seen_clips:  # windows share one GT set
+            continue
+        seen_clips.add(item["clip_name"])
         for ann in infer_ds.clips[item["clip_name"]]["annotations"]:
             ground_truth.append({
                 "video_id": item["clip_name"],

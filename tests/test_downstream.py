@@ -1,5 +1,7 @@
 """Downstream heads: VSLNet, VSGN pieces, QFVS KTS/scorer/matching, NLQ eval."""
 
+import json
+
 import numpy as np
 import pytest
 import jax
@@ -233,3 +235,102 @@ def test_segment_iou_set_union():
     assert iou[0] == 0.0
     iou = mq_eval.segment_iou(np.array([0.0, 2.0]), np.array([[1.0, 3.0]]))
     assert abs(iou[0] - 1 / 3) < 1e-9
+
+
+# ---- EgoMQ long-clip windowing + VSS self-stitching ----
+
+
+def _write_mq_fixture(tmp_path, total=150, dur=75.0):
+    """One long clip (features > temporal_scale) with an early and a LATE
+    moment (past the truncation point)."""
+    rs = np.random.RandomState(7)
+    np.save(tmp_path / "long.npy", rs.randn(total, 8).astype(np.float32))
+    anno = {
+        "long": {
+            "subset": "train", "clip_id": "long",
+            "parent_start_sec": 0.0, "parent_end_sec": dur,
+            "annotations": [
+                {"start_time": 2.0, "end_time": 6.0, "label": "cook"},
+                # fps = 150/75 = 2 -> features 130..140, far past tscale=64
+                {"start_time": 65.0, "end_time": 70.0, "label": "clean"},
+            ],
+        }
+    }
+    p = tmp_path / "anno.json"
+    p.write_text(json.dumps(anno))
+    return str(p)
+
+
+def test_egomq_windowing_recovers_late_moment(tmp_path):
+    from egovlpv2_tpu.downstream.datasets import EgoMQFeatureDataset
+
+    anno = _write_mq_fixture(tmp_path)
+    # reference-parity mode truncates at tscale: the late moment degenerates
+    trunc = EgoMQFeatureDataset(anno, str(tmp_path), subset="train",
+                                mode="train", temporal_scale=64,
+                                input_feat_dim=8)
+    item = trunc[0]
+    gt = item["gt_bbox"][: item["num_gt"]]
+    late = gt[gt[:, 2] == trunc.classes["clean"]]
+    assert np.allclose(late[:, 0], late[:, 1])  # clamped to a zero-len box
+
+    # windowed mode: some window contains the late moment intact
+    ds = EgoMQFeatureDataset(anno, str(tmp_path), subset="train", mode="train",
+                             temporal_scale=64, input_feat_dim=8,
+                             window_stride=32)
+    assert len(ds) >= 2
+    found = False
+    for i in range(len(ds)):
+        it = ds[i]
+        gt = it["gt_bbox"][: it["num_gt"]]
+        for s, e, c in gt:
+            if c == ds.classes["clean"] and e > s:
+                # map back to seconds via the window offset
+                fps = float(it["fps"])
+                t0 = s * 64 / fps + float(it["offset_sec"])
+                t1 = e * 64 / fps + float(it["offset_sec"])
+                assert abs(t0 - 65.0) < 1.0 and abs(t1 - 70.0) < 1.0
+                found = True
+    assert found, "no window recovered the late moment"
+
+
+def test_egomq_offset_sec_maps_proposals_back():
+    from egovlpv2_tpu.downstream.mq_infer import proposals_from_outputs
+
+    probs = np.array([[0.1, 0.9]], np.float32)  # one anchor, one fg class
+    locs = np.array([[4.0, 10.0]], np.float32)
+    startness = endness = np.ones(64, np.float32)
+    props = proposals_from_outputs(
+        probs, locs, startness, endness, num_frms=64, fps=2.0,
+        clip_id="c", temporal_scale=64, offset_sec=32.0,
+    )
+    assert props and abs(props[0]["t_start"] - (4.0 / 2.0 + 32.0)) < 1e-6
+
+
+def test_egomq_vss_self_stitch(tmp_path):
+    from egovlpv2_tpu.downstream.datasets import EgoMQFeatureDataset
+
+    rs = np.random.RandomState(1)
+    np.save(tmp_path / "short.npy", rs.randn(20, 8).astype(np.float32))
+    anno = {"short": {"subset": "train", "clip_id": "short",
+                      "parent_start_sec": 0.0, "parent_end_sec": 10.0,
+                      "annotations": [
+                          {"start_time": 1.0, "end_time": 4.0, "label": "x"}]}}
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(anno))
+    ds = EgoMQFeatureDataset(str(p), str(tmp_path), subset="train",
+                             mode="train", temporal_scale=128,
+                             input_feat_dim=8, use_vss=True, stitch_gap=10)
+    item = ds[0]
+    t = int(item["num_frms"])
+    assert t == 20
+    # the x2 up-scaled copy sits after the stitch gap
+    video = item["video"]
+    assert np.allclose(video[t : t + 10], 0)  # gap is zeros
+    np.testing.assert_allclose(video[t + 10], video[0])
+    np.testing.assert_allclose(video[t + 11], video[0])
+    # annotations doubled: original + stitched copy at 2x scale
+    gt = item["gt_bbox"][: item["num_gt"]]
+    assert item["num_gt"] == 2
+    orig, copy = gt[0], gt[1]
+    assert abs(copy[0] * 128 - (t + 10 + 2 * orig[0] * 128)) < 1e-4
