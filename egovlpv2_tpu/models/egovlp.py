@@ -363,6 +363,17 @@ class EgoVLPv2(nn.Module):
             out = out + (self.itm_forward(video, input_ids, attention_mask),)
         if self.cfg.with_mlm_head:
             out = out + (self.mlm_forward(video, input_ids, attention_mask),)
+        if not (self.cfg.with_itm_head or self.cfg.with_mlm_head):
+            # The reference towers carry the gated-fusion parameters even in
+            # the Dual fine-tune model (model_epic_charades.py builds the
+            # same SpaceTimeTransformer / RobertaModel tree); touch them so
+            # published fine-tune checkpoints strict-import.
+            bias = make_additive_mask(attention_mask)
+            t0 = self.text_model.embed(input_ids)
+            v0 = self.video_model.embed(video)
+            self.video_model.run_blocks(
+                v0, video.shape[1], text=t0, text_bias=bias)
+            self.text_model.run_layers(t0, bias, video=v0)
         return out
 
 

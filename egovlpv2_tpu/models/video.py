@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from egovlpv2_tpu.core.config import FusionConfig, VideoEncoderConfig
 from egovlpv2_tpu.ops.attention import attend
+from egovlpv2_tpu.ops.divided import divided_attention
 
 
 def _trunc_normal(std: float):
@@ -111,35 +112,12 @@ class DividedAttention(nn.Module):
             name="qkv",
             **({"kernel_init": kinit, "bias_init": binit} if kinit else {}),
         )(x)
-        qkv = qkv.reshape(b, s, 3, h, dh).transpose(2, 0, 3, 1, 4)  # [3, B, H, S, Dh]
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        # CLS attends over everything (space *and* time).
-        cls_out = attend(
-            q[:, :, :1], k, v, scale=scale, impl=self.attn_impl
-        )  # [B, H, 1, Dh]
-
-        # Patch tokens: frame-major layout [B, H, F, N, Dh].
-        def grouped(t):
-            t = t[:, :, 1:].reshape(b, h, f, n, dh)
-            if self.axis == "time":
-                t = t.transpose(0, 1, 3, 2, 4)  # [B, H, N, F, Dh]
-            return t
-
-        qg, kg, vg = grouped(q), grouped(k), grouped(v)
-        g = qg.shape[2]  # groups: F for space, N for time
-        # Broadcast CLS key/value into every group and prepend.
-        cls_k = jnp.broadcast_to(k[:, :, None, :1], (b, h, g, 1, dh))
-        cls_v = jnp.broadcast_to(v[:, :, None, :1], (b, h, g, 1, dh))
-        kg = jnp.concatenate([cls_k, kg], axis=3)
-        vg = jnp.concatenate([cls_v, vg], axis=3)
-        out = attend(qg, kg, vg, scale=scale, impl=self.attn_impl)
-
-        if self.axis == "time":
-            out = out.transpose(0, 1, 3, 2, 4)  # back to [B, H, F, N, Dh]
-        out = out.reshape(b, h, f * n, dh)
-        out = jnp.concatenate([cls_out, out], axis=2)  # [B, H, S, Dh]
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+        # Divided attention with CLS splice: 'pallas' = the packed TPU kernel
+        # (ops/divided.py), 'xla' = the einsum reference path (same math).
+        out = divided_attention(
+            qkv.reshape(b, s, 3, h, dh), scale=scale, axis=self.axis,
+            num_frames=f, impl=self.attn_impl,
+        ).reshape(b, s, d)
 
         x = nn.Dense(
             d,

@@ -31,6 +31,8 @@ def run_egomq(
     epochs: int = 10,
     batch_size: int = 16,
     lr: float = 1e-4,
+    step_size: int = 10,
+    gamma: float = 0.5,
     temporal_scale: int = 928,
     input_feat_dim: int = 4096,
     num_levels: int = 5,
@@ -62,7 +64,8 @@ def run_egomq(
     )
     loader = DataLoader(train_ds, batch_size)
     tx, anchors, step, loss_fn = runners.make_vsgn_train_step(
-        model, lr=lr, steps_per_epoch=len(loader))
+        model, lr=lr, step_size=step_size, gamma=gamma,
+        steps_per_epoch=len(loader))
     example = loader.collate([train_ds[0]])
     state = runners.init_head_state(
         model, tx, (jnp.asarray(example["video"]), jnp.asarray(example["num_frms"])))

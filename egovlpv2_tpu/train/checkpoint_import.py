@@ -186,6 +186,24 @@ def map_projection(sd, prefix):
     return None
 
 
+class _RecordingDict(dict):
+    """Tracks which checkpoint keys the mappers actually consumed, so strict
+    imports can fail on reference weights that would silently stay random."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+# Non-parameter buffers the published state_dict carries (HF registers them
+# on RobertaEmbeddings); they have no target in a flax param tree.
+_IGNORABLE_BUFFER_SUFFIXES = ("position_ids", "token_type_ids")
+
+
 def import_reference_checkpoint(
     sd: Dict[str, np.ndarray],
     params,
@@ -197,9 +215,8 @@ def import_reference_checkpoint(
 
     Returns (new_params, report) where report lists imported / skipped names.
     """
-    sd = strip_module_prefix(sd)
+    sd = _RecordingDict(strip_module_prefix(sd))
     if num_frames is not None and "video_model.temporal_embed" in sd:
-        sd = dict(sd)
         sd["video_model.temporal_embed"] = inflate_temporal_embed(
             sd["video_model.temporal_embed"], num_frames, temporal_fix
         )
@@ -270,8 +287,16 @@ def import_reference_checkpoint(
     for k in flat_params:
         if k not in flat_mapped:
             missing.append(".".join(k))
-    if strict and (skipped or missing):
-        raise ValueError(f"import mismatch: skipped={skipped[:5]} missing={missing[:5]}")
+    unused = [
+        k for k in sd
+        if k not in sd.used and not k.endswith(_IGNORABLE_BUFFER_SUFFIXES)
+    ]
+    if strict and (skipped or missing or unused):
+        raise ValueError(
+            f"import mismatch: skipped={skipped[:5]} missing={missing[:5]} "
+            f"unused_checkpoint_keys={unused[:5]}"
+        )
     report = {"imported": imported, "skipped": skipped,
-              "missing_in_checkpoint": missing}
+              "missing_in_checkpoint": missing,
+              "unused_checkpoint_keys": unused}
     return traverse_util.unflatten_dict(out), report
