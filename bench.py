@@ -37,11 +37,15 @@ def main():
     # remat=False: bf16 activations at this batch fit v5e HBM, and XLA's
     # compile time for grad-of-remat on the unrolled 24-block graph is
     # pathological on few-core hosts (measured: >90 min vs 4.4 min without).
+    # Measured on v5e @ batch 16 (round 2): xla+path-remat 697 ms, pallas
+    # divided-attention kernel 599 ms, pallas+no-path-remat 484 ms. bf16
+    # activations at batch<=16 fit HBM without the path-level recompute.
     cfg = TrainConfig(
         model=ModelConfig(compute_dtype="bfloat16",
-                          attn_impl=os.environ.get("BENCH_ATTN", "xla"),
+                          attn_impl=os.environ.get("BENCH_ATTN", "pallas"),
                           remat=os.environ.get("BENCH_REMAT", "0") == "1"),
         optim=OptimConfig(max_steps=1000),
+        path_remat=os.environ.get("BENCH_PATH_REMAT", "0") == "1",
         global_batch_size=batch_size,
     )
     mesh = make_mesh((-1, 1), ("data", "model"))

@@ -152,6 +152,10 @@ class TrainConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
     loss: LossConfig = field(default_factory=LossConfig)
     tasks: str = "EgoNCE_ITM_MLM"
+    # one jax.checkpoint region per objective path (peak HBM = max over
+    # paths). Turn off when activations fit: backward then reuses the stored
+    # forward instead of recomputing each tower (~25% less compute/step).
+    path_remat: bool = True
     global_batch_size: int = 256
     max_text_len: int = 15  # tokenizer max_length at pretrain (trainer_egoclip.py:120)
     mlm_prob: float = 0.15

@@ -69,7 +69,7 @@ def pretrain_loss_fn(
     model: EgoVLPv2,
     cfg: TrainConfig,
     loss_scale: float = 1.0,
-    path_remat: bool = True,
+    path_remat: Optional[bool] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """EgoNCE + MLM + itm_weight*ITM.
 
@@ -81,6 +81,8 @@ def pretrain_loss_fn(
     on few-core hosts: measured >90 min vs ~5 min).
     """
     lcfg = cfg.loss
+    if path_remat is None:
+        path_remat = cfg.path_remat
     dropout_rng, itm_rng = jax.random.split(rng)
 
     def bound_fn(method, **static_kw):
