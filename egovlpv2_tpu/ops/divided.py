@@ -113,7 +113,172 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
 
 
 # ---------------------------------------------------------------------------
-# pallas_call wrappers + custom VJP (operate on [3, B, H, S, Dh])
+# lane-packed kernels: consume the qkv projection output [B, S, 3*H*Dh]
+# DIRECTLY via lane-block specs (no transposes anywhere — XLA cannot fuse a
+# transpose into a custom-call operand, so the [3,B,H,S,Dh] layout costs two
+# HBM copies per call). Several heads per program amortize the mask build
+# and per-program overhead. Used when the lane blocks can be expressed
+# (hp*Dh multiple of 128, or hp == H so the block spans the full component)
+# and S is small enough for whole-sequence VMEM blocks.
+# ---------------------------------------------------------------------------
+
+_PACKED_MAX_S = 1536  # beyond this (16/32-frame eval) use the per-head path
+
+
+def _packed_heads(h: int, dh: int, s: int, itemsize: int,
+                  budget: int = 2_500_000):
+    """Heads per program for the packed layout, or None if inexpressible
+    (lane blocks must be 128-aligned slices of the 3*H*Dh projection row).
+    `budget` caps the q+k+v input-block bytes so the [block_q, S] f32
+    softmax workspace fits VMEM; the backward pass carries 4 extra dense
+    [block_q, S] intermediates + dk/dv accumulators, so it uses a smaller
+    budget than the forward."""
+    best = None
+    for d in range(1, h + 1):
+        if h % d or (d * dh) % 128:
+            continue
+        if 3 * s * d * dh * itemsize > budget:
+            continue
+        best = d
+    return best
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
+                       hp, dh, block_q):
+    s = q_ref.shape[1]
+    for lo in range(0, s, block_q):
+        bq = min(block_q, s - lo)
+        bias = _mask_bias(lo, bq, s, axis, n_patches)  # shared by all heads
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            q = q_ref[0, lo:lo + bq, sl].astype(jnp.float32) * scale
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            z = jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(p / z, v, preferred_element_type=jnp.float32)
+            o_ref[0, lo:lo + bq, sl] = out.astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                       scale, axis, n_patches, hp, dh, block_q):
+    s = q_ref.shape[1]
+    # tile-outer / head-inner: the mask is built once per query tile and
+    # shared by all heads; dk/dv accumulate per head across tiles
+    dks = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
+    dvs = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
+    for lo in range(0, s, block_q):
+        bq = min(block_q, s - lo)
+        bias = _mask_bias(lo, bq, s, axis, n_patches)
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            k = k_ref[0, :, sl].astype(jnp.float32)
+            v = v_ref[0, :, sl].astype(jnp.float32)
+            qraw = q_ref[0, lo:lo + bq, sl].astype(jnp.float32)
+            g = g_ref[0, lo:lo + bq, sl].astype(jnp.float32)
+            logits = jax.lax.dot_general(
+                qraw * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            dvs[j] = dvs[j] + jax.lax.dot_general(
+                p, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+            dq = scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            dq_ref[0, lo:lo + bq, sl] = dq.astype(dq_ref.dtype)
+            dks[j] = dks[j] + scale * jax.lax.dot_general(
+                ds, qraw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    for j in range(hp):
+        sl = slice(j * dh, (j + 1) * dh)
+        dk_ref[0, :, sl] = dks[j].astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dvs[j].astype(dv_ref.dtype)
+
+
+def _packed_specs(s: int, h: int, dh: int, hp: int):
+    """q/k/v lane-block views into the [B, S, 3*H*Dh] projection output."""
+    groups = h // hp
+    return [
+        pl.BlockSpec((1, s, hp * dh), lambda b, g, c=c: (b, 0, g + c * groups),
+                     memory_space=pltpu.VMEM)
+        for c in range(3)
+    ]
+
+
+def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
+    b, s, _ = qkv_flat.shape
+    kernel = functools.partial(
+        _packed_fwd_kernel, scale=scale, axis=axis,
+        n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
+        block_q=min(s, 1024),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // hp),
+        in_specs=_packed_specs(s, h, dh, hp),
+        out_specs=pl.BlockSpec((1, s, hp * dh), lambda b_, g: (b_, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s, h * dh), qkv_flat.dtype),
+        cost_estimate=_cost(b, h, s, dh),
+    )(qkv_flat, qkv_flat, qkv_flat)
+
+
+def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
+    b, s, _ = qkv_flat.shape
+    kernel = functools.partial(
+        _packed_bwd_kernel, scale=scale, axis=axis,
+        n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
+        block_q=min(s, 512),
+    )
+    spec = pl.BlockSpec((1, s, hp * dh), lambda b_, g_: (b_, 0, g_),
+                        memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((b, s, h * dh), qkv_flat.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, h // hp),
+        in_specs=_packed_specs(s, h, dh, hp) + [spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shp, shp, shp),
+        cost_estimate=_cost(b, h, s, dh, bwd=True),
+    )(qkv_flat, qkv_flat, qkv_flat, g)
+    # XLA fuses this concat into the qkv-Dense backward dots
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+# backward budget: 4 dense [block_q, S] f32 intermediates + per-head
+# accumulators live alongside the blocks (measured: hp=6 OOMs scoped vmem)
+_BWD_BUDGET = 900_000
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _packed_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp, hp_bwd):
+    return _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp)
+
+
+def _packed_fwd(qkv_flat, scale, axis, num_frames, h, dh, hp, hp_bwd):
+    return (_packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp),
+            qkv_flat)
+
+
+def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
+    return (_packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh,
+                               hp_bwd),)
+
+
+_packed_pallas.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# per-head kernels on [3, B, H, S, Dh] (fallback for long sequences)
 # ---------------------------------------------------------------------------
 
 
@@ -247,6 +412,15 @@ def divided_attention(
     assert axis in ("space", "time"), axis
     if impl != "pallas":
         return _divided_xla(qkv, scale, axis, num_frames)
-    qkv3 = qkv.transpose(2, 0, 3, 1, 4)  # fused into the qkv matmul by XLA
+    b, s, _, h, dh = qkv.shape
+    hp = _packed_heads(h, dh, s, qkv.dtype.itemsize)
+    hp_bwd = _packed_heads(h, dh, s, qkv.dtype.itemsize, budget=_BWD_BUDGET)
+    if hp is not None and hp_bwd is not None and s <= _PACKED_MAX_S:
+        # zero-copy path: the reshape below undoes the caller's reshape of
+        # the qkv Dense output, so the kernel reads the matmul result as-is
+        out = _packed_pallas(qkv.reshape(b, s, 3 * h * dh), scale, axis,
+                             num_frames, h, dh, hp, hp_bwd)  # [B, S, H*Dh]
+        return out.reshape(b, s, h, dh)
+    qkv3 = qkv.transpose(2, 0, 3, 1, 4)
     out = _divided_pallas(qkv3, scale, axis, num_frames)  # [B, H, S, Dh]
     return out.transpose(0, 2, 1, 3)

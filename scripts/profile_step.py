@@ -72,7 +72,8 @@ def main():
             _ = float(metrics["loss_total"])
         jax.profiler.stop_trace()
 
-    # parse the perfetto trace: device-track slices only
+    # parse the perfetto trace: flat 'XLA Ops' device track only (the
+    # 'Steps' / 'XLA Modules' / name-scope tracks nest and double-count)
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.trace.json.gz"), recursive=True))
     if not paths:
@@ -81,31 +82,36 @@ def main():
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device process ids: names containing 'TPU' and not 'python'
-    dev_pids = {e["pid"] for e in events
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    ops_tids = set()
+    for e in events:
+        if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e.get("args", {}).get("name") == "XLA Ops"):
+            ops_tids.add((e["pid"], e["tid"]))
+    import re
+
     cat_time = collections.Counter()
     cat_count = collections.Counter()
     op_time = collections.Counter()
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in ops_tids:
             continue
         name = e.get("name", "")
         dur = e.get("dur", 0) / 1e3  # us -> ms
         c = categorize(name)
         cat_time[c] += dur
         cat_count[c] += 1
-        op_time[name.split(".")[0][:40]] += dur
+        op_time[re.sub(r"[.\d]+$", "", name)[:44]] += dur
         total += dur
+    n_steps = 3
     print(json.dumps({
-        "total_device_ms_3steps": round(total, 1),
-        "per_step_ms": round(total / 3, 1),
-        "by_category_ms": {k: round(v, 1) for k, v in
-                           cat_time.most_common()},
-        "by_category_n": dict(cat_count),
-        "top_ops_ms": {k: round(v, 1) for k, v in op_time.most_common(25)},
+        "per_step_ms": round(total / n_steps, 1),
+        "by_category_ms_per_step": {k: round(v / n_steps, 1) for k, v in
+                                    cat_time.most_common()},
+        "by_category_n_per_step": {k: v // n_steps
+                                   for k, v in cat_count.items()},
+        "top_ops_ms_per_step": {k: round(v / n_steps, 1) for k, v in
+                                op_time.most_common(25)},
     }, indent=1))
 
 

@@ -20,11 +20,38 @@ def _qkv(rs, b, s, h, dh):
 
 
 CASES = [
-    # (B, F, N, H, Dh) — hot pretrain shape (scaled-down batch) and odd tinies
+    # (B, F, N, H, Dh) — hot pretrain shape (scaled-down batch) and odd tinies.
+    # Case 0 exercises the lane-packed path (Dh*hp 128-aligned); the others
+    # fall back to the per-head [3,B,H,S,Dh] path (unalignable head dims).
     (2, 4, 196, 2, 64),
     (2, 2, 9, 3, 16),
     (1, 3, 5, 1, 8),
 ]
+
+FWD_ONLY_CASES = [
+    # S = 1569 > _PACKED_MAX_S: the long-sequence per-head path at real Dh
+    (1, 8, 196, 2, 64),
+]
+
+
+@pytest.mark.parametrize("axis", ["space", "time"])
+@pytest.mark.parametrize("case", FWD_ONLY_CASES)
+def test_forward_long_sequence_fallback(axis, case):
+    from egovlpv2_tpu.ops import divided
+
+    b, f, n, h, dh = case
+    s = 1 + f * n
+    assert s > divided._PACKED_MAX_S  # really exercises the per-head path
+    rs = np.random.RandomState(3)
+    qkv = _qkv(rs, b, s, h, dh)
+    scale = dh ** -0.5
+    ref = divided_attention(qkv, scale=scale, axis=axis, num_frames=f,
+                            impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got = divided_attention(qkv, scale=scale, axis=axis, num_frames=f,
+                                impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("axis", ["space", "time"])
