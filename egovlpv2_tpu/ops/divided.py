@@ -63,19 +63,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, num_frames,
                 n_patches, block_q):
     del num_frames
     s = q_ref.shape[3]
-    k = k_ref[0, 0, 0].astype(jnp.float32)  # [S, Dh]
-    v = v_ref[0, 0, 0].astype(jnp.float32)
+    k = k_ref[0, 0, 0]  # [S, Dh]; dots take the input dtype (bf16 MXU rate)
+    v = v_ref[0, 0, 0]
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
         bias = _mask_bias(lo, bq, s, axis, n_patches)
-        q = q_ref[0, 0, 0, lo:lo + bq, :].astype(jnp.float32) * scale
+        q = q_ref[0, 0, 0, lo:lo + bq, :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) + bias  # [bq, S]
+            preferred_element_type=jnp.float32) * scale + bias  # [bq, S]
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        z = jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.dot(p / z, v, preferred_element_type=jnp.float32)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         o_ref[0, 0, lo:lo + bq, :] = out.astype(o_ref.dtype)
 
 
@@ -83,30 +83,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
                 num_frames, n_patches, block_q):
     del num_frames
     s, dh = q_ref.shape[3], q_ref.shape[4]
-    k = k_ref[0, 0, 0].astype(jnp.float32)
-    v = v_ref[0, 0, 0].astype(jnp.float32)
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
     dk = jnp.zeros((s, dh), jnp.float32)
     dv = jnp.zeros((s, dh), jnp.float32)
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
         bias = _mask_bias(lo, bq, s, axis, n_patches)
-        qraw = q_ref[0, 0, 0, lo:lo + bq, :].astype(jnp.float32)
-        g = g_ref[0, 0, lo:lo + bq, :].astype(jnp.float32)
+        qraw = q_ref[0, 0, 0, lo:lo + bq, :]
+        g = g_ref[0, 0, lo:lo + bq, :]
         logits = jax.lax.dot_general(
-            qraw * scale, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) + bias
+            qraw, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bq, S]
+        p_c = p.astype(g.dtype)
         dv = dv + jax.lax.dot_general(  # p^T @ g
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p_c, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(  # g @ v^T
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
-        dq = scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        ds_c = ds.astype(k.dtype)
+        dq = scale * jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dqkv_ref[0, 0, 0, lo:lo + bq, :] = dq.astype(dqkv_ref.dtype)
         dk = dk + scale * jax.lax.dot_general(  # ds^T @ qraw
-            ds, qraw, (((0,), (0,)), ((), ())),
+            ds_c, qraw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
     dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
@@ -151,16 +156,20 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
         bias = _mask_bias(lo, bq, s, axis, n_patches)  # shared by all heads
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
-            q = q_ref[0, lo:lo + bq, sl].astype(jnp.float32) * scale
-            k = k_ref[0, :, sl].astype(jnp.float32)
-            v = v_ref[0, :, sl].astype(jnp.float32)
+            # dots take the input dtype directly (bf16 runs the MXU at
+            # double the f32 rate and halves VMEM); accumulate + softmax
+            # in f32 with the scale folded into the f32 logits
+            q = q_ref[0, lo:lo + bq, sl]
+            k = k_ref[0, :, sl]
+            v = v_ref[0, :, sl]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) + bias
+                preferred_element_type=jnp.float32) * scale + bias
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            z = jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.dot(p / z, v, preferred_element_type=jnp.float32)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jnp.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
             o_ref[0, lo:lo + bq, sl] = out.astype(o_ref.dtype)
 
 
@@ -176,27 +185,31 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         bias = _mask_bias(lo, bq, s, axis, n_patches)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
-            k = k_ref[0, :, sl].astype(jnp.float32)
-            v = v_ref[0, :, sl].astype(jnp.float32)
-            qraw = q_ref[0, lo:lo + bq, sl].astype(jnp.float32)
-            g = g_ref[0, lo:lo + bq, sl].astype(jnp.float32)
+            k = k_ref[0, :, sl]
+            v = v_ref[0, :, sl]
+            qraw = q_ref[0, lo:lo + bq, sl]
+            g = g_ref[0, lo:lo + bq, sl]
             logits = jax.lax.dot_general(
-                qraw * scale, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) + bias
+                qraw, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p_c = p.astype(g.dtype)
             dvs[j] = dvs[j] + jax.lax.dot_general(
-                p, g, (((0,), (0,)), ((), ())),
+                p_c, g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(
                 g, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
-            dq = scale * jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            ds_c = ds.astype(k.dtype)
+            dq = scale * jax.lax.dot_general(
+                ds_c, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dq_ref[0, lo:lo + bq, sl] = dq.astype(dq_ref.dtype)
             dks[j] = dks[j] + scale * jax.lax.dot_general(
-                ds, qraw, (((0,), (0,)), ((), ())),
+                ds_c, qraw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     for j in range(hp):
         sl = slice(j * dh, (j + 1) * dh)
@@ -303,9 +316,11 @@ def _cost(b, h, s, dh, bwd=False):
 
 def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
     _, b, h, s, dh = qkv3.shape
+    # the [block_q, S] f32 softmax workspace must fit VMEM at long S
     kernel = functools.partial(
         _fwd_kernel, scale=scale, axis=axis, num_frames=num_frames,
-        n_patches=(s - 1) // num_frames, block_q=min(s, 1024),
+        n_patches=(s - 1) // num_frames,
+        block_q=min(s, 1024 if s <= 1536 else 256),
     )
     return pl.pallas_call(
         kernel,
@@ -321,9 +336,11 @@ def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
 def _bwd_pallas(qkv3: jax.Array, g: jax.Array, scale: float, axis: str,
                 num_frames: int):
     _, b, h, s, dh = qkv3.shape
+    # backward holds ~4 dense [block_q, S] f32 intermediates at once
     kernel = functools.partial(
         _bwd_kernel, scale=scale, axis=axis, num_frames=num_frames,
-        n_patches=(s - 1) // num_frames, block_q=min(s, 512),
+        n_patches=(s - 1) // num_frames,
+        block_q=min(s, 512 if s <= 1536 else 128),
     )
     return pl.pallas_call(
         kernel,
@@ -350,6 +367,16 @@ def _divided_fwd(qkv3, scale, axis, num_frames):
 
 
 def _divided_bwd(scale, axis, num_frames, qkv3, g):
+    s = qkv3.shape[3]
+    if s > _PACKED_MAX_S:
+        # the in-kernel dense recompute exceeds VMEM at long sequences
+        # (measured: 22.5M scoped vmem at S=3137); differentiate the XLA
+        # einsum path instead — same math, flash-style recompute in HBM
+        qkv = qkv3.transpose(1, 3, 0, 2, 4)  # [B, S, 3, H, Dh]
+        _, vjp = jax.vjp(
+            lambda x: _divided_xla(x, scale, axis, num_frames), qkv)
+        (dqkv,) = vjp(g.transpose(0, 2, 1, 3))  # g [B,H,S,Dh]->[B,S,H,Dh]
+        return (dqkv.transpose(2, 0, 3, 1, 4),)
     return (_bwd_pallas(qkv3, g, scale, axis, num_frames),)
 
 

@@ -1,11 +1,13 @@
 """Micro-benchmark: divided-attention kernel vs the XLA einsum path.
 
 Times forward and forward+backward at the framework's hot shapes on the real
-TPU chip (serialize with other TPU jobs — one process at a time):
+TPU chip (serialize with other TPU jobs — one process at a time).
 
-  * space attention, pretrain: B=16, F=4,  N=196, H=12, Dh=64 (197 keys)
-  * time attention,  pretrain: B=16, F=4,  N=196 (5 keys per query)
-  * space attention, eval/extract: B=4, F=16, N=196
+Timing method: the axon tunnel adds a ~28 ms round-trip per scalar fetch, so
+per-call timing is meaningless. Instead each measurement runs N chained
+iterations of the op inside ONE jit (each iteration's input depends on the
+previous output, so iterations serialize on device) and reports
+(t_N - t_1) / (N - 1).
 
 Usage: python scripts/microbench_attn.py   (prints one JSON line per case)
 """
@@ -33,19 +35,30 @@ CASES = [
     ("time_eval16f", "time", 4, 16, 196, 12, 64),
 ]
 
+N_ITER = 24
 
-def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jnp.sum(out if isinstance(out, jax.Array) else out[0]).block_until_ready()
-    # axon tunnel: force scalar fetches to synchronize
-    for _ in range(2):
-        float(jnp.sum(fn(*args) if isinstance(out, jax.Array)
-                      else fn(*args)[0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn(*args)
-        float(jnp.sum(r if isinstance(r, jax.Array) else r[0]))
-    return (time.perf_counter() - t0) / iters * 1000
+
+def _chained(step_fn, n):
+    """n serialized applications of step_fn inside one jit."""
+
+    @jax.jit
+    def run(qkv):
+        def body(_, x):
+            return step_fn(x)
+        return jax.lax.fori_loop(0, n, body, qkv)
+
+    return run
+
+
+def _measure(run_fn, qkv, repeats=4):
+    float(jnp.sum(run_fn(qkv).astype(jnp.float32)))  # compile + warmup
+    float(jnp.sum(run_fn(qkv).astype(jnp.float32)))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(run_fn(qkv).astype(jnp.float32)))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -53,25 +66,34 @@ def main():
     for name, axis, b, f, n, h, dh in CASES:
         s = 1 + f * n
         qkv = jnp.asarray(rs.randn(b, s, 3, h, dh), jnp.bfloat16)
-        ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.bfloat16)
         scale = dh ** -0.5
-        row = {"case": name}
+        row = {"case": name, "shape": [b, s, h, dh]}
         for impl in ("xla", "pallas"):
-            fwd = jax.jit(lambda x, impl=impl: divided_attention(
-                x, scale=scale, axis=axis, num_frames=f, impl=impl))
-            row[f"{impl}_fwd_ms"] = round(timeit(fwd, qkv), 3)
 
-            def loss(x, impl=impl):
+            def fwd_step(x, impl=impl):
                 o = divided_attention(x, scale=scale, axis=axis,
                                       num_frames=f, impl=impl)
-                return jnp.sum((o * ct).astype(jnp.float32))
+                # feed the output back so iterations serialize
+                return x + jnp.concatenate(
+                    [o[:, :, None], o[:, :, None], o[:, :, None]],
+                    axis=2) * jnp.bfloat16(1e-30)
 
-            gfn = jax.jit(jax.grad(loss))
-            row[f"{impl}_fwdbwd_ms"] = round(timeit(gfn, qkv), 3)
-        row["fwd_speedup"] = round(row["xla_fwd_ms"] / row["pallas_fwd_ms"], 2)
-        row["fwdbwd_speedup"] = round(
-            row["xla_fwdbwd_ms"] / row["pallas_fwdbwd_ms"], 2)
-        print(json.dumps(row))
+            def grad_step(x, impl=impl):
+                g = jax.grad(lambda q: jnp.sum(
+                    divided_attention(q, scale=scale, axis=axis,
+                                      num_frames=f, impl=impl)
+                    .astype(jnp.float32)))(x)
+                return x + g * jnp.bfloat16(1e-30)
+
+            for tag, step in (("fwd", fwd_step), ("fwdbwd", grad_step)):
+                t1 = _measure(_chained(step, 1), qkv)
+                tn = _measure(_chained(step, N_ITER), qkv)
+                row[f"{impl}_{tag}_ms"] = round(
+                    (tn - t1) / (N_ITER - 1) * 1000, 3)
+        for tag in ("fwd", "fwdbwd"):
+            x, p_ = row[f"xla_{tag}_ms"], row[f"pallas_{tag}_ms"]
+            row[f"{tag}_speedup"] = round(x / p_, 2) if p_ > 0 else None
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,28 @@ FWD_ONLY_CASES = [
 ]
 
 
+def test_gradients_long_sequence_xla_bwd():
+    """Beyond _PACKED_MAX_S the custom VJP routes the backward through the
+    XLA recompute path; it must still match grad-of-xla end to end."""
+    b, f, n, h, dh = FWD_ONLY_CASES[0]
+    s = 1 + f * n
+    rs = np.random.RandomState(4)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("axis", ["space", "time"])
 @pytest.mark.parametrize("case", FWD_ONLY_CASES)
 def test_forward_long_sequence_fallback(axis, case):
