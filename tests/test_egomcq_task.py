@@ -1,5 +1,9 @@
 """EgoMCQ evaluation loop end-to-end on a tiny model (synthetic data)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

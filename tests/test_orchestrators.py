@@ -5,6 +5,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_run_egomq_end_to_end(tmp_path):
     from egovlpv2_tpu.tasks.orchestrators import run_egomq

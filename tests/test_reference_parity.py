@@ -18,6 +18,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 REF_DIR = "/root/reference/EgoVLPv2"

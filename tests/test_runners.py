@@ -1,5 +1,9 @@
 """Downstream training runners: one step each runs and decreases loss."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

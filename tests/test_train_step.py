@@ -8,6 +8,8 @@ the same loss as the single-device run (GSPMD semantics guarantee), and
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 
