@@ -104,8 +104,9 @@ class ModelConfig:
     # which task heads to build
     with_itm_head: bool = True
     with_mlm_head: bool = True
-    # attention implementation: 'xla' (einsum path) or 'pallas'
-    attn_impl: str = "xla"
+    # attention implementation: 'auto' (Pallas kernels on TPU backends, XLA
+    # einsums elsewhere), or force 'xla' / 'pallas'
+    attn_impl: str = "auto"
     # remat (gradient checkpointing) on every block, like
     # `use_checkpoint: True` in the reference YAML.
     remat: bool = True

@@ -57,6 +57,8 @@ def attend(
 
     Returns [..., Sq, Dh] in q.dtype.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if impl == "pallas" and prob_dropout == 0.0:
         from egovlpv2_tpu.ops import flash
 

@@ -432,11 +432,14 @@ def divided_attention(
       qkv: [B, S, 3, H, Dh] (S = 1 + num_frames * n_patches), the natural
         reshape of the fused qkv projection output.
       axis: 'space' | 'time'.
-      impl: 'pallas' (TPU kernel) or 'xla' (einsum reference path).
+      impl: 'pallas' (TPU kernel), 'xla' (einsum reference path), or 'auto'
+        (pallas on TPU backends, xla elsewhere).
 
     Returns [B, S, H, Dh] in qkv.dtype.
     """
     assert axis in ("space", "time"), axis
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
     if impl != "pallas":
         return _divided_xla(qkv, scale, axis, num_frames)
     b, s, _, h, dh = qkv.shape

@@ -23,6 +23,7 @@ scaling when strict parity with a W-GPU reference run is wanted.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -135,8 +136,24 @@ def pretrain_loss_fn(
             params, None, tokens
         )
 
+    merged = (os.environ.get("EGOVLP_MERGED_FUSED", "0") == "1"
+              and "MLM" in cfg.tasks and "ITM" in cfg.tasks)
+    if merged:
+        # one 2B-wide fused stack for MLM + mined ITM (identical math;
+        # measured slower under path remat in round 1, re-tunable now)
+        idx = mine_itm_indices(itm_rng, jax.lax.stop_gradient(sim), mask_bool, temp)
+        mlm_logits, itm_logits = bound_fn(
+            model.mlm_itm_forward_from_video, deterministic=False,
+        )(params, v_un, batch["text_mlm_ids"], mask,
+          v_un[idx.video_idx], ids[idx.text_idx], mask[idx.text_idx])
+        loss_mlm = masked_lm_loss(mlm_logits, batch["text_mlm_labels"])
+        loss_itm = itm_loss(itm_logits, idx.labels)
+        loss = loss + lcfg.mlm_weight * loss_mlm + lcfg.itm_weight * loss_itm
+        metrics["loss_mlm"] = loss_mlm
+        metrics["loss_itm"] = loss_itm
+
     # ---- MLM (fused stack on masked text) ----
-    if "MLM" in cfg.tasks:
+    if "MLM" in cfg.tasks and not merged:
         mlm_logits = bound_fn(model.mlm_forward_from_video, deterministic=False)(
             params, v_un, batch["text_mlm_ids"], mask
         )
@@ -145,7 +162,7 @@ def pretrain_loss_fn(
         metrics["loss_mlm"] = loss_mlm
 
     # ---- ITM (fused stack on hard-negative-mined batch) ----
-    if "ITM" in cfg.tasks:
+    if "ITM" in cfg.tasks and not merged:
         idx = mine_itm_indices(itm_rng, jax.lax.stop_gradient(sim), mask_bool, temp)
         itm_logits = bound_fn(model.itm_forward_from_video, deterministic=False)(
             params, v_un[idx.video_idx], ids[idx.text_idx], mask[idx.text_idx],
