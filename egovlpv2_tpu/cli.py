@@ -236,6 +236,7 @@ def cmd_pretrain(args):
 
             ds = EgoClipDataset(
                 args.meta, args.data, num_frames=cfg.model.video.num_frames,
+                input_res=cfg.model.video.img_size,
                 neg_param=args.neg_param,
             )
             tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,

@@ -261,9 +261,15 @@ class RoundRobinLoader:
 
 def pretrain_post_fn(tokenizer: Tokenizer, mlm_prob: float = 0.15, seed: int = 0):
     """Tokenize (incl. scene negatives concat, trainer_egoclip.py:112-116)
-    and apply MLM masking."""
+    and apply MLM masking.
+
+    MLM ids/labels must stay inside the MODEL's vocab: small-vocab smoke
+    configs (tokenizer.vocab_cap set) would otherwise get the RoBERTa
+    mask id 50264 and NaN out through the embedding lookup."""
     from egovlpv2_tpu.data.mlm import mask_tokens
 
+    vocab = tokenizer.vocab_cap or Tokenizer.VOCAB
+    mask_id = min(Tokenizer.MASK, vocab - 1)
     rng = np.random.default_rng(seed)
 
     def post(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -277,7 +283,8 @@ def pretrain_post_fn(tokenizer: Tokenizer, mlm_prob: float = 0.15, seed: int = 0
             out["verb_vec"] = np.concatenate([out["verb_vec"], out.pop("verb_vec_neg")])
         tok = tokenizer(texts)
         out.update(tok)
-        mlm_ids, mlm_labels = mask_tokens(tok["text_ids"], rng, mlm_prob)
+        mlm_ids, mlm_labels = mask_tokens(tok["text_ids"], rng, mlm_prob,
+                                          mask_id=mask_id, vocab_size=vocab)
         out["text_mlm_ids"] = mlm_ids.astype(np.int32)
         out["text_mlm_labels"] = mlm_labels.astype(np.int32)
         return out
