@@ -167,7 +167,7 @@ def _make_egomcq_batches(args, cfg, tokenizer_name: str, batch_size: int = 4):
         meta = getattr(args, "val_meta", None) or args.meta
         data = getattr(args, "val_data", None) or args.data
         ds = EgoMCQDataset(meta, data, num_frames=cfg.model.video.num_frames,
-                           loading="lax")
+                           input_res=cfg.model.video.img_size, loading="lax")
 
         def post(batch):
             enc = tok(batch.pop("text"))
@@ -428,11 +428,13 @@ def _run_dual_ft(args, dataset_name: str):
         if dataset_name == "epic":
             ds = EpicKitchensMIRDataset(
                 args.meta, args.data, split="train",
-                num_frames=cfg.model.video.num_frames)
+                num_frames=cfg.model.video.num_frames,
+                input_res=cfg.model.video.img_size)
         else:
             ds = CharadesEgoDataset(
                 args.meta, args.data, split="train",
-                num_frames=cfg.model.video.num_frames)
+                num_frames=cfg.model.video.num_frames,
+                input_res=cfg.model.video.img_size)
 
         def post(batch):
             enc = tok(batch.pop("text"))

@@ -153,3 +153,69 @@ def test_pretrain_from_generated_mp4s(tiny_config, tmp_path):
     assert stats, "no training steps logged"
     last = json.loads(stats[-1])
     assert np.isfinite(last["loss_total"])
+
+
+def _write_mp4(path, seconds=2, res=32, seed=0):
+    import cv2
+
+    rs = np.random.RandomState(seed)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                        (res, res))
+    for _ in range(30 * seconds):
+        w.write(rs.randint(0, 255, (res, res, 3), np.uint8))
+    w.release()
+
+
+def test_ft_charades_from_generated_mp4s(tiny_config, tmp_path):
+    """Charades fine-tune CLI over real mp4s + metadata csv (NormSoftmax
+    Dual path; multinode_train_charades.py capability)."""
+    data = tmp_path / "char_videos"
+    rows = ["id,narration,t_start,t_end"]
+    for i in range(8):
+        _write_mp4(data / f"CLIP{i}.mp4", seconds=1, seed=i)
+        rows.append(f"CLIP{i},person does thing {i},0.0,0.9")
+    meta = tmp_path / "char_meta"
+    meta.mkdir()
+    (meta / "metadata_train.csv").write_text("\n".join(rows))
+
+    save = tmp_path / "run_char"
+    cli.main([
+        "ft-charades", "--config", tiny_config,
+        "--meta", str(meta), "--data", str(data),
+        "--epochs", "1", "--save_dir", str(save),
+        "--set", "global_batch_size=8",
+    ])
+    stats = (save / "stats.txt").read_text().strip().splitlines()
+    assert stats and np.isfinite(json.loads(stats[-1])["loss_total"])
+
+
+def test_egomcq_from_generated_mp4s(tiny_config, tmp_path):
+    """EgoMCQ zero-shot eval over real chunked videos + egomcq.json."""
+    data = tmp_path / "mcq_videos"
+    for uid in ("u0", "u1"):
+        _write_mp4(data / uid / "0.mp4", seconds=2,
+                   seed=hash(uid) % 100)
+
+    def choice(uid, s):
+        return {"video_uid": uid, "clip_start": s, "clip_end": s + 0.5}
+
+    meta = {}
+    for q in range(2):
+        meta[str(q)] = {
+            "query": {"clip_text": f"does thing {q}"},
+            "choices": {str(i): choice(("u0", "u1")[i % 2], 0.1 + 0.3 * i)
+                        for i in range(5)},
+            "answer": q % 5,
+            "types": 1 + q % 2,
+        }
+    mpath = tmp_path / "egomcq.json"
+    mpath.write_text(json.dumps(meta))
+
+    out = tmp_path / "mcq_metrics.json"
+    cli.main([
+        "egomcq", "--config", tiny_config, "--meta", str(mpath),
+        "--data", str(data), "--batch_size", "2", "--out", str(out),
+    ])
+    metrics = json.loads(out.read_text())
+    assert metrics and all(np.isfinite(v) for v in metrics.values())
