@@ -417,8 +417,10 @@ def _run_dual_ft(args, dataset_name: str):
                     "text_mask": enc["text_mask"],
                 }
                 if dataset_name == "epic":
-                    b["relevancy"] = np.eye(cfg.global_batch_size,
-                                            dtype=np.float32)
+                    # per-ROW caption relevancy weights [B]
+                    # (AdaptiveMaxMargin, model_epic_charades.py:410-441)
+                    b["relevancy"] = np.ones(cfg.global_batch_size,
+                                             np.float32)
                 yield shard_batch(b, mesh)
     else:
         from egovlpv2_tpu.data.datasets import (

@@ -219,3 +219,46 @@ def test_egomcq_from_generated_mp4s(tiny_config, tmp_path):
     ])
     metrics = json.loads(out.read_text())
     assert metrics and all(np.isfinite(v) for v in metrics.values())
+
+
+def test_ft_epic_from_generated_frames(tiny_config, tmp_path):
+    """EPIC fine-tune CLI over real JPEG frame dirs + retrieval csv +
+    relevancy pkl (AdaptiveMaxMargin Dual path, 0-255 regime)."""
+    import pickle
+
+    import cv2
+    import pandas as pd
+
+    rs = np.random.RandomState(7)
+    data = tmp_path / "epic_frames"
+    rows = []
+    for i in range(8):
+        pid, vid = "P01", f"P01_{i:02d}"
+        d = data / pid / "rgb_frames" / vid
+        d.mkdir(parents=True)
+        for fidx in range(1, 31):
+            cv2.imwrite(str(d / f"frame_{fidx:010d}.jpg"),
+                        rs.randint(0, 255, (32, 32, 3), np.uint8))
+        rows.append({"participant_id": pid, "video_id": vid,
+                     "start_frame": 1, "stop_frame": 30,
+                     "narration": f"cut thing {i}"})
+    meta = tmp_path / "epic_meta"
+    (meta / "relevancy").mkdir(parents=True)
+    pd.DataFrame(rows).to_csv(meta / "EPIC_100_retrieval_train.csv",
+                              index=False)
+    rel = (rs.rand(8, 6) > 0.5).astype(np.float32) * rs.rand(8, 6)
+    with open(meta / "relevancy" /
+              "caption_relevancy_EPIC_100_retrieval_train.pkl", "wb") as f:
+        pickle.dump(rel, f)
+    pd.DataFrame({"narration": [f"sentence {j}" for j in range(6)]}).to_csv(
+        meta / "EPIC_100_retrieval_train_sentence.csv", index=False)
+
+    save = tmp_path / "run_epic"
+    cli.main([
+        "ft-epic", "--config", tiny_config,
+        "--meta", str(meta), "--data", str(data),
+        "--epochs", "1", "--save_dir", str(save),
+        "--set", "global_batch_size=8",
+    ])
+    stats = (save / "stats.txt").read_text().strip().splitlines()
+    assert stats and np.isfinite(json.loads(stats[-1])["loss_total"])
