@@ -38,7 +38,7 @@ def grid_sweep(
     run_fn: Callable[..., Dict[str, float]],
     grid: Mapping[str, Sequence[Any]],
     *,
-    metric_key: str = "average_mAP",
+    metric_key: str = "mAP_avg",
     out_path: Optional[str] = None,
     higher_is_better: bool = True,
 ) -> Tuple[Dict[str, Any], Dict[str, float], list]:
@@ -102,7 +102,7 @@ def run_egomq_sweep(
 
     os.makedirs(out_dir, exist_ok=True)
     best_cfg, best_metrics, _ = grid_sweep(
-        one, grid, metric_key="average_mAP",
+        one, grid, metric_key="mAP_avg",
         out_path=os.path.join(out_dir, "sweep_results.json"),
     )
     return {"config": best_cfg, "metrics": best_metrics}

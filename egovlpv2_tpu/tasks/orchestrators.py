@@ -45,6 +45,8 @@ def run_egomq(
     from egovlpv2_tpu.downstream import mq_eval, mq_infer, runners, vsgn
     from egovlpv2_tpu.downstream.datasets import EgoMQFeatureDataset
 
+    os.makedirs(out_dir, exist_ok=True)
+
     train_ds = EgoMQFeatureDataset(
         clip_anno, feature_path, subset="train", mode="train",
         temporal_scale=temporal_scale, input_feat_dim=input_feat_dim,

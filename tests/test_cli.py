@@ -262,3 +262,41 @@ def test_ft_epic_from_generated_frames(tiny_config, tmp_path):
     ])
     stats = (save / "stats.txt").read_text().strip().splitlines()
     assert stats and np.isfinite(json.loads(stats[-1])["loss_total"])
+
+
+def test_extract_to_egomq_chain(tiny_config, tmp_path):
+    """The reference pipeline boundary: test_mq.py dumps <clip>.pt features,
+    EgoMQ/Train.py consumes them. Drive OUR extract CLI on real mp4s, then
+    train/eval the VSGN head directly on its output directory — enforcing
+    the filename and feature-dim contract across the boundary."""
+    from egovlpv2_tpu.tasks.orchestrators import run_egomq
+
+    vid_dir = tmp_path / "mq_videos"
+    for uid in ("clipA", "clipB", "clipC"):
+        _write_mp4(vid_dir / f"{uid}.mp4", seconds=2,
+                   seed=sum(map(ord, uid)))
+    feats = tmp_path / "mq_feats"
+    cli.main([
+        "extract", "--config", tiny_config,
+        "--videos", str(vid_dir / "*.mp4"), "--out", str(feats),
+        "--input_res", "32",
+    ])
+    anno = {}
+    for uid, split in (("clipA", "train"), ("clipB", "train"),
+                       ("clipC", "val")):
+        anno[uid] = {
+            "subset": split, "clip_id": uid,
+            "parent_start_sec": 0.0, "parent_end_sec": 2.0,
+            "annotations": [
+                {"start_time": 0.2, "end_time": 1.0, "label": "do"},
+            ],
+        }
+    anno_path = tmp_path / "mq_anno.json"
+    anno_path.write_text(json.dumps(anno))
+    metrics = run_egomq(
+        str(anno_path), str(feats), str(tmp_path / "mq_out"),
+        epochs=1, batch_size=2, temporal_scale=32,
+        input_feat_dim=64,  # tiny config projection_dim
+        num_levels=3, tiou_thresholds=(0.1, 0.5),
+    )
+    assert "mAP_avg" in metrics and np.isfinite(metrics["mAP_avg"])

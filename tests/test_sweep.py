@@ -27,12 +27,12 @@ def test_grid_sweep_finds_argmax(tmp_path):
 
     def run(lr, gamma):
         # deterministic synthetic objective peaked at (0.2, 0.9)
-        return {"average_mAP": 1.0 - (lr - 0.2) ** 2 - (gamma - 0.9) ** 2,
+        return {"mAP_avg": 1.0 - (lr - 0.2) ** 2 - (gamma - 0.9) ** 2,
                 "mAP@0.5": lr * gamma}
 
     out = tmp_path / "sweep.json"
     best_cfg, best_metrics, results = grid_sweep(
-        run, grid, metric_key="average_mAP", out_path=str(out))
+        run, grid, metric_key="mAP_avg", out_path=str(out))
     assert best_cfg == {"lr": 0.2, "gamma": 0.9}
     assert len(results) == 6
     payload = json.loads(out.read_text())
@@ -45,7 +45,7 @@ def test_run_egomq_sweep_wires_configs(tmp_path):
 
     def fake_run(clip_anno, feature_path, out_dir, batch_size, lr, epochs):
         seen.append((batch_size, lr, out_dir))
-        return {"average_mAP": float(batch_size) / (1.0 + lr)}
+        return {"mAP_avg": float(batch_size) / (1.0 + lr)}
 
     best = run_egomq_sweep(
         "anno.json", "feats/", str(tmp_path),
@@ -56,3 +56,32 @@ def test_run_egomq_sweep_wires_configs(tmp_path):
     assert len(seen) == 2
     assert all("batch_size=" in s[2] for s in seen)  # per-config out dirs
     assert (tmp_path / "sweep_results.json").exists()
+
+
+def test_sweep_over_real_run_egomq(tmp_path):
+    """The sweep drives the ACTUAL run_egomq (tiny features on disk), so the
+    metric key contract between the two is enforced end to end."""
+    import json
+
+    rs = np.random.RandomState(0)
+    anno = {}
+    for split, names in (("train", ["a", "b"]), ("val", ["c"])):
+        for name in names:
+            np.save(tmp_path / f"{name}.npy", rs.randn(40, 8).astype(np.float32))
+            anno[name] = {
+                "subset": split, "clip_id": name,
+                "parent_start_sec": 0.0, "parent_end_sec": 20.0,
+                "annotations": [
+                    {"start_time": 2.0, "end_time": 6.0, "label": "cook"},
+                ],
+            }
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(anno))
+    best = run_egomq_sweep(
+        str(anno_path), str(tmp_path), str(tmp_path / "sweep"),
+        grid={"batch_size": (2,), "lr": (1e-4,), "step_size": (5,),
+              "gamma": (0.5,)},
+        epochs=1, temporal_scale=64, input_feat_dim=8, num_levels=3,
+        tiou_thresholds=(0.1, 0.5),
+    )
+    assert "mAP_avg" in best["metrics"]
