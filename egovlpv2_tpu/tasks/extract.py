@@ -147,3 +147,44 @@ def save_features(path: str, feats: np.ndarray, pt_compatible: bool = True):
             torch.save(torch.from_numpy(np.ascontiguousarray(feats)), base + ".pt")
         except ImportError:
             pass
+
+
+def extract_nlq_features(
+    extractor: FeatureExtractor,
+    tokenizer,
+    records,
+    frames_fn,
+    num_frames: int,
+    out_dir: str,
+):
+    """NLQ stage-1: per-(window, query) fused features + raw query tokens.
+
+    The reference extracts these inline (`EgoNLQ/main.py:58-136`: video
+    windows x query text through the full fused model -> 768-d per window,
+    plus unfused dual text tokens at :124) and caches them per
+    (clip, annotation, query). Here each clip is decoded ONCE via
+    `frames_fn(clip_uid) -> [T, H, W, C]` and every query against it reuses
+    the frames; outputs land as `<clip>_<ann>_<q>.npy` + `..._query.npy`,
+    the exact layout NLQFeatureDataset consumes.
+
+    Returns {clip_uid: num_windows} for `attach_feature_indices`.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    by_clip = {}
+    for rec in records:
+        by_clip.setdefault(rec["clip_uid"], []).append(rec)
+
+    num_windows = {}
+    for clip_uid, recs in by_clip.items():
+        frames = frames_fn(clip_uid)
+        num_windows[clip_uid] = -(-frames.shape[0] // num_frames)
+        for rec in recs:
+            enc = tokenizer([rec["query"]])
+            ids, mask = enc["text_ids"][0], enc["text_mask"][0]
+            feats = extractor.fused_window_features(
+                frames, num_frames, ids, mask)
+            tokens = extractor.text_tokens(ids[None], mask[None])[0]
+            key = f"{rec['clip_uid']}_{rec['annotation_uid']}_{rec['query_idx']}"
+            save_features(os.path.join(out_dir, key), feats)
+            save_features(os.path.join(out_dir, key + "_query"), tokens)
+    return num_windows

@@ -276,12 +276,15 @@ def run_qfvs(
     epochs: int = 5,
     lr: float = 1e-4,
     top_percent: float = 0.02,
+    d_model: Optional[int] = None,
 ) -> Dict[str, float]:
     """Train the summary scorer, evaluate leave-one-out bipartite F1."""
     from egovlpv2_tpu.downstream import qfvs, runners
     from egovlpv2_tpu.downstream.qfvs import semantic_matching_f1
 
-    model = qfvs.SummaryScorer()
+    if d_model is None:  # follow the fused feature width (reference: 768)
+        d_model = int(dataset[0]["feat_concept1"].shape[-1])
+    model = qfvs.SummaryScorer(d_model=d_model)
     tx, step, score = runners.make_qfvs_train_step(
         model, lr=lr, total_steps=epochs * len(dataset))
     ex = dataset[0]

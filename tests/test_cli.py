@@ -300,3 +300,56 @@ def test_extract_to_egomq_chain(tiny_config, tmp_path):
         num_levels=3, tiou_thresholds=(0.1, 0.5),
     )
     assert "mAP_avg" in metrics and np.isfinite(metrics["mAP_avg"])
+
+
+def test_extract_to_egonlq_chain(tiny_config, tmp_path):
+    """EgoNLQ pipeline boundary: fused per-(window, query) extraction
+    (EgoNLQ/main.py:58-136) -> VSLNet head-tune -> official NLQ eval, from
+    real mp4s on disk."""
+    from egovlpv2_tpu.data.loader import Tokenizer
+    from egovlpv2_tpu.data import readers
+    from egovlpv2_tpu.downstream.nlq_data import attach_feature_indices
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.tasks.extract import FeatureExtractor, extract_nlq_features
+    from egovlpv2_tpu.tasks.orchestrators import run_egonlq
+
+    vid_dir = tmp_path / "nlq_videos"
+    clips = [f"nlq{i}" for i in range(4)]
+    for uid in clips:
+        _write_mp4(vid_dir / f"{uid}.mp4", seconds=1, seed=sum(map(ord, uid)))
+
+    cfg = cli.load_train_config(tiny_config, [])
+    model = EgoVLPv2(cfg.model)
+    params = cli._load_params(model, cfg, None)
+    ex = FeatureExtractor(model, params, inner_batch=8)
+    tok = Tokenizer(max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+
+    records = []
+    gt = {}
+    for i, uid in enumerate(clips):
+        records.append({
+            "clip_uid": uid, "annotation_uid": "a", "query_idx": 0,
+            "query": f"where is object {i}", "duration": 1.0,
+            "s_time": 0.1, "e_time": 0.6,
+        })
+        gt[(uid, "a", 0)] = (0.1, 0.6)
+
+    def frames_fn(uid):
+        total = readers.get_video_len(str(vid_dir / f"{uid}.mp4"))
+        frames, _ = readers.read_frames_cv2(
+            str(vid_dir / f"{uid}.mp4"), total, sample="uniform")
+        from egovlpv2_tpu.data import transforms
+        return transforms.eval_transform(np.asarray(frames), size=32)
+
+    feats = tmp_path / "nlq_feats"
+    nw = extract_nlq_features(ex, tok, records, frames_fn,
+                              cfg.model.video.num_frames, str(feats))
+    assert set(nw) == set(clips) and all(v > 0 for v in nw.values())
+    meta = attach_feature_indices(records, nw)
+    assert all("s_ind" in m and "num_windows" in m for m in meta)
+    metrics = run_egonlq(
+        meta[:3], meta[3:], str(feats), gt, epochs=1, batch_size=2,
+        max_pos_len=16, video_feature_dim=cfg.model.video.embed_dim,
+    )
+    assert "mIoU" in metrics and np.isfinite(metrics["mIoU"])

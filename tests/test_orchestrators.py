@@ -105,3 +105,32 @@ def test_run_egotaskqa_end_to_end():
                             epochs=1, batch_size=4)
     assert "acc" in metrics and 0.0 <= metrics["acc"] <= 1.0
     assert "acc/direct" in metrics
+
+
+def test_run_qfvs_end_to_end(tmp_path):
+    from egovlpv2_tpu.downstream.qfvs_data import QFVSDataset
+    from egovlpv2_tpu.tasks.orchestrators import run_qfvs
+
+    rs = np.random.RandomState(3)
+    od = tmp_path / "oracle" / "P01"
+    td = tmp_path / "tags" / "P01"
+    od.mkdir(parents=True)
+    td.mkdir(parents=True)
+    (od / "Car_Tree_oracle.txt").write_text("1\n3\n")
+    (td / "P01.txt").write_text("Car,Sky\nTree\nCar,Tree\nSky\n")
+
+    def feats():
+        return {
+            "seg_len": np.array([3, 1] + [0] * 6),
+            "feat_concept1": rs.randn(8, 4, 16).astype(np.float32),
+            "feat_concept2": rs.randn(8, 4, 16).astype(np.float32),
+            "feat_oracle": rs.randn(8, 4, 16).astype(np.float32),
+        }
+
+    ds = QFVSDataset(str(tmp_path / "oracle"), str(tmp_path / "tags"), [1],
+                     {"1": feats()}, max_segment_num=8, max_frame_num=4)
+    test_items = [ds[0]]
+    # per-shot concept tags for the bipartite matching (Tags.mat layout)
+    shots_tag = (rs.rand(4, 3) > 0.5).astype(np.float32)
+    metrics = run_qfvs(ds, test_items, shots_tag, epochs=1)
+    assert "F1" in metrics and np.isfinite(metrics["F1"])
