@@ -30,6 +30,14 @@ FRAMES_PER_CLIP = 5
 
 class QFVSExtractor:
     def __init__(self, model: EgoVLPv2, params, inner_batch: int = 16):
+        if model.cfg.video.num_frames < FRAMES_PER_CLIP:
+            # the reference QFVS pipeline treats 5 frames as one "clip"
+            # (extract_features.py:65-146); the temporal embedding must
+            # cover them (load 4-frame checkpoints with temporal inflation)
+            raise ValueError(
+                f"QFVS extraction needs video.num_frames >= {FRAMES_PER_CLIP} "
+                f"(got {model.cfg.video.num_frames}); import the checkpoint "
+                "with num_frames=5 temporal inflation")
         self.model = model
         self.params = params
         self.inner_batch = inner_batch

@@ -353,3 +353,97 @@ def test_extract_to_egonlq_chain(tiny_config, tmp_path):
         max_pos_len=16, video_feature_dim=cfg.model.video.embed_dim,
     )
     assert "mIoU" in metrics and np.isfinite(metrics["mIoU"])
+
+
+def test_taskqa_chain_from_disk(tiny_config, tmp_path):
+    """EgoTaskQA boundary: formatted QA json + interval mp4s -> dataset ->
+    tokenize -> fused-backbone fine-tune with per-reasoning-type accuracy
+    (EgoTaskQA/main_end2end.py capability)."""
+    from egovlpv2_tpu.data.loader import Tokenizer
+    from egovlpv2_tpu.downstream.datasets import EgoTaskQADataset
+    from egovlpv2_tpu.tasks.orchestrators import run_egotaskqa
+
+    vid_dir = tmp_path / "qa_videos"
+    items = []
+    for i in range(8):
+        _write_mp4(vid_dir / f"iv{i}.mp4", seconds=1, seed=40 + i)
+        items.append({
+            "interval": f"iv{i}",
+            "question": f"what happens in clip {i}",
+            "answer_encode": i % 3,
+            "type": "causal$descriptive" if i % 2 else "causal",
+        })
+    qa_json = tmp_path / "formatted_train_qas_encode.json"
+    qa_json.write_text(json.dumps(items))
+
+    cfg = cli.load_train_config(tiny_config, [])
+    ds = EgoTaskQADataset(str(qa_json), str(vid_dir),
+                          num_frames=cfg.model.video.num_frames,
+                          input_res=cfg.model.video.img_size)
+    tok = Tokenizer(max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+
+    def to_item(d):
+        enc = tok([d.pop("text")])
+        return dict(d, text_ids=enc["text_ids"][0], text_mask=enc["text_mask"][0])
+
+    all_items = [to_item(ds[i]) for i in range(len(ds))]
+    metrics = run_egotaskqa(
+        cfg.model, all_items[:6], all_items[6:], num_answers=3,
+        reasoning_types=("causal", "descriptive"),
+        epochs=1, batch_size=2,
+    )
+    assert "acc_all" in metrics or any("acc" in k for k in metrics)
+    assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_qfvs_three_stage_chain(tiny_config, tmp_path):
+    """QFVS pipeline boundary (QFVS/main.py:37-54): raw frames -> unfused
+    tokens + KTS segmentation -> 3-prompt fused shot features ->
+    pack_shot_features -> QFVSDataset -> summary scorer -> bipartite F1."""
+    from egovlpv2_tpu.data.loader import Tokenizer
+    from egovlpv2_tpu.downstream.qfvs_data import QFVSDataset, pack_shot_features
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.tasks.orchestrators import run_qfvs
+    from egovlpv2_tpu.tasks.qfvs_extract import QFVSExtractor
+
+    import dataclasses
+
+    cfg = cli.load_train_config(tiny_config, [])
+    # QFVS clips are 5 frames (reference FRAMES_PER_CLIP); a 4-frame
+    # pretrain checkpoint reaches this via temporal inflation
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, video=dataclasses.replace(cfg.model.video,
+                                                 num_frames=5)))
+    model = EgoVLPv2(cfg.model)
+    params = cli._load_params(model, cfg, None)
+    ex = QFVSExtractor(model, params, inner_batch=4)
+    tok = Tokenizer(max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+
+    rs = np.random.RandomState(11)
+    frames = rs.rand(23, 32, 32, 3).astype(np.float32)  # -> 5 shots
+    out = ex.extract_video(frames, tok, ["Car", "Tree"],
+                           oracle_prompt="Car Tree", max_segments=3)
+    feats = {}
+    for name, key in (("Car", "feat_concept1"), ("Tree", "feat_concept2"),
+                      ("Car Tree", "feat_oracle")):
+        packed, seg_len = pack_shot_features(
+            out["features"][name], out["change_points"],
+            max_segment_num=8, max_frame_num=4)
+        feats[key] = packed
+        feats["seg_len"] = seg_len
+
+    od = tmp_path / "oracle" / "P01"
+    td = tmp_path / "tags" / "P01"
+    od.mkdir(parents=True)
+    td.mkdir(parents=True)
+    (od / "Car_Tree_oracle.txt").write_text("1\n3\n")
+    (td / "P01.txt").write_text("Car,Sky\nTree\nCar,Tree\nSky\nCar\n")
+
+    ds = QFVSDataset(str(tmp_path / "oracle"), str(tmp_path / "tags"), [1],
+                     {"1": feats}, max_segment_num=8, max_frame_num=4)
+    shots_tag = (rs.rand(out["num_shots"], 3) > 0.5).astype(np.float32)
+    metrics = run_qfvs(ds, [ds[0]], shots_tag, epochs=1)
+    assert "F1" in metrics and np.isfinite(metrics["F1"])
