@@ -144,7 +144,9 @@ def save_features(path: str, feats: np.ndarray, pt_compatible: bool = True):
         try:
             import torch
 
-            torch.save(torch.from_numpy(np.ascontiguousarray(feats)), base + ".pt")
+            # copy: jax-backed arrays are non-writable and torch warns on them
+            torch.save(torch.from_numpy(np.array(feats, copy=True)),
+                       base + ".pt")
         except ImportError:
             pass
 
