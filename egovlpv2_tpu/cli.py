@@ -453,6 +453,10 @@ def _run_dual_ft(args, dataset_name: str):
         def batches(epoch):
             return (shard_batch(b, mesh) for b in loader.epoch(epoch))
 
+    # per-epoch retrieval validation (trainer_epic.py:200-306 /
+    # trainer_charades.py:216-274)
+    run_val = _make_dual_val(args, cfg, dataset_name, model, tok, log)
+
     with mesh:
         step_fn = make_dual_train_step(model, cfg, tx, mesh=mesh)
         state = TrainState(params, tx.init(params),
@@ -471,11 +475,84 @@ def _run_dual_ft(args, dataset_name: str):
                              {k: round(v, 4) for k, v in m.items()})
                     if stats:
                         stats.write(step, m)
+            if run_val is not None:
+                val = run_val(state.params)
+                log.info("epoch %d val: %s", epoch,
+                         {k: round(v, 4) for k, v in val.items()})
+                if stats:
+                    stats.write(step, {f"val_{k}": v for k, v in val.items()})
             if ckpt:
                 ckpt.save(step, jax.device_get(state))
         if ckpt:
             ckpt.wait()
     log.info("done at step %d", step)
+
+
+def _make_dual_val(args, cfg, dataset_name, model, tok, log):
+    """Optional per-epoch retrieval validation for the dual fine-tunes.
+
+    epic: EK-100 MIR official mAP/nDCG over the test split + relevancy pkl
+    (trainer_epic.py:200-306). charades: 157 class-prompt mAP over the val
+    split (trainer_charades.py:216-274, prompts from --classes, one per
+    line). Both honor --sliding_window_stride (base_dataset.py:82-106)."""
+    if not getattr(args, "val_meta", None):
+        return None
+    from egovlpv2_tpu.data.loader import DataLoader
+    from egovlpv2_tpu.tasks.retrieval import evaluate_charades, evaluate_mir
+
+    val_data = getattr(args, "val_data", None) or args.data
+    stride = getattr(args, "sliding_window_stride", -1)
+    num_workers = getattr(args, "num_workers", 4)
+
+    if dataset_name == "epic":
+        import pickle
+
+        from egovlpv2_tpu.data.datasets import EpicKitchensMIRDataset
+
+        ds = EpicKitchensMIRDataset(
+            args.val_meta, val_data, split="test",
+            num_frames=cfg.model.video.num_frames,
+            input_res=cfg.model.video.img_size,
+            sliding_window_stride=stride,
+        )
+        rel_path = os.path.join(
+            args.val_meta, "relevancy",
+            "caption_relevancy_EPIC_100_retrieval_test.pkl")
+        with open(rel_path, "rb") as f:
+            relevancy = pickle.load(f)
+
+        def post(batch):
+            enc = tok(batch.pop("text"))
+            batch.update(enc)
+            return batch
+
+        def run_val(params):
+            loader = DataLoader(ds, args.val_batch_size, post_fn=post,
+                                drop_last=False, num_workers=num_workers)
+            return evaluate_mir(model, params, loader.epoch(0),
+                                np.asarray(relevancy))
+
+        return run_val
+
+    from egovlpv2_tpu.data.datasets import CharadesEgoDataset
+
+    ds = CharadesEgoDataset(
+        args.val_meta, val_data, split="val",
+        num_frames=cfg.model.video.num_frames,
+        input_res=cfg.model.video.img_size,
+        sliding_window_stride=stride,
+    )
+    with open(args.classes) as f:  # 157 class prompts, one per line
+        prompts = [line.strip() for line in f if line.strip()]
+    enc = tok(prompts)
+
+    def run_val(params):
+        loader = DataLoader(ds, args.val_batch_size, drop_last=False,
+                            num_workers=num_workers)
+        return evaluate_charades(model, params, loader.epoch(0),
+                                 enc["text_ids"], enc["text_mask"])
+
+    return run_val
 
 
 def cmd_ft_epic(args):
@@ -557,6 +634,15 @@ def main(argv=None):
         f.add_argument("--epochs", type=int, default=1)
         f.add_argument("--steps_per_epoch", type=int, default=4)
         f.add_argument("--log_every", type=int, default=1)
+        f.add_argument("--val_meta", default=None,
+                       help="epic: test csv+relevancy meta dir; charades: "
+                            "meta dir with metadata_val.csv")
+        f.add_argument("--val_data", default=None)
+        f.add_argument("--val_batch_size", type=int, default=8)
+        f.add_argument("--classes", default=None,
+                       help="charades: 157 class prompts, one per line")
+        f.add_argument("--sliding_window_stride", type=int, default=-1,
+                       help="test-time window expansion stride (-1 = off)")
         f.set_defaults(fn=fn)
 
     b = sub.add_parser("bench")

@@ -447,3 +447,85 @@ def test_qfvs_three_stage_chain(tiny_config, tmp_path):
     shots_tag = (rs.rand(out["num_shots"], 3) > 0.5).astype(np.float32)
     metrics = run_qfvs(ds, [ds[0]], shots_tag, epochs=1)
     assert "F1" in metrics and np.isfinite(metrics["F1"])
+
+
+def test_ft_charades_with_val_epoch(tiny_config, tmp_path):
+    """Per-epoch Charades class-prompt validation (trainer_charades.py:
+    216-274): 157-way multi-hot targets vs class-prompt embeddings."""
+    data = tmp_path / "cv_videos"
+    train_rows = ["id,narration,t_start,t_end"]
+    val_rows = ["id,actions"]
+    for i in range(8):
+        _write_mp4(data / f"V{i}.mp4", seconds=1, seed=60 + i)
+        train_rows.append(f"V{i},someone acts {i},0.0,0.9")
+        val_rows.append(f"V{i},c{i % 3:03d} 0.0 0.9")
+    meta = tmp_path / "cv_meta"
+    meta.mkdir()
+    (meta / "metadata_train.csv").write_text("\n".join(train_rows))
+    (meta / "metadata_val.csv").write_text("\n".join(val_rows))
+    classes = tmp_path / "classes.txt"
+    classes.write_text("\n".join(f"a person does action {c}"
+                                 for c in range(157)))
+
+    save = tmp_path / "run_cv"
+    cli.main([
+        "ft-charades", "--config", tiny_config,
+        "--meta", str(meta), "--data", str(data),
+        "--val_meta", str(meta), "--classes", str(classes),
+        "--val_batch_size", "4",
+        "--epochs", "1", "--save_dir", str(save),
+        "--set", "global_batch_size=8",
+    ])
+    stats = [json.loads(l) for l in
+             (save / "stats.txt").read_text().strip().splitlines()]
+    val_keys = [k for s in stats for k in s if k.startswith("val_")]
+    assert val_keys, "no validation metrics logged"
+
+
+def test_ft_epic_with_val_epoch(tiny_config, tmp_path):
+    """Per-epoch EK-100 MIR validation (trainer_epic.py:200-306): official
+    mAP/nDCG over the test split + relevancy matrix."""
+    import pickle
+
+    import cv2
+    import pandas as pd
+
+    rs = np.random.RandomState(9)
+    data = tmp_path / "ev_frames"
+    rows = []
+    for i in range(8):
+        pid, vid = "P02", f"P02_{i:02d}"
+        d = data / pid / "rgb_frames" / vid
+        d.mkdir(parents=True)
+        for fidx in range(1, 21):
+            cv2.imwrite(str(d / f"frame_{fidx:010d}.jpg"),
+                        rs.randint(0, 255, (32, 32, 3), np.uint8))
+        rows.append({"participant_id": pid, "video_id": vid,
+                     "start_frame": 1, "stop_frame": 20,
+                     "narration": f"open thing {i}"})
+    meta = tmp_path / "ev_meta"
+    (meta / "relevancy").mkdir(parents=True)
+    df = pd.DataFrame(rows)
+    df.to_csv(meta / "EPIC_100_retrieval_train.csv", index=False)
+    df.to_csv(meta / "EPIC_100_retrieval_test.csv", index=False)
+    rel = np.eye(8, dtype=np.float32)
+    for tag in ("train", "test"):
+        with open(meta / "relevancy" /
+                  f"caption_relevancy_EPIC_100_retrieval_{tag}.pkl",
+                  "wb") as f:
+            pickle.dump(rel, f)
+    pd.DataFrame({"narration": [f"s{j}" for j in range(8)]}).to_csv(
+        meta / "EPIC_100_retrieval_train_sentence.csv", index=False)
+
+    save = tmp_path / "run_ev"
+    cli.main([
+        "ft-epic", "--config", tiny_config,
+        "--meta", str(meta), "--data", str(data),
+        "--val_meta", str(meta), "--val_batch_size", "4",
+        "--epochs", "1", "--save_dir", str(save),
+        "--set", "global_batch_size=8", "max_text_len=12",
+    ])
+    stats = [json.loads(l) for l in
+             (save / "stats.txt").read_text().strip().splitlines()]
+    val_keys = [k for s in stats for k in s if k.startswith("val_")]
+    assert val_keys, "no validation metrics logged"
