@@ -204,7 +204,9 @@ def _make_egomcq_batches(args, cfg, tokenizer_name: str, batch_size: int = 4):
 def cmd_pretrain(args):
     import jax
 
-    from egovlpv2_tpu.parallel.mesh import make_mesh, shard_batch
+    from egovlpv2_tpu.parallel.mesh import (
+        host_state, local_batch_size, make_mesh, shard_batch,
+    )
     from egovlpv2_tpu.tasks.pretrain import build_pretrain, synthetic_batch
     from egovlpv2_tpu.train.checkpoint import CheckpointManager
     from egovlpv2_tpu.utils.logging import StatsWriter, Throughput, setup_logging
@@ -215,19 +217,25 @@ def cmd_pretrain(args):
     stats = StatsWriter(args.save_dir) if args.save_dir else None
     ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None
     monitor = Monitor(args.monitor, args.early_stop) if args.monitor else None
+    # each process feeds shard_batch its own global//process_count slice
+    local_bs = local_batch_size(cfg.global_batch_size)
 
     with mesh:
         model, init_state = build_pretrain(cfg, mesh=mesh)
         if args.synthetic:
             def batches(epoch):
-                return (
-                    shard_batch(
-                        synthetic_batch(cfg, cfg.global_batch_size,
-                                        np.random.default_rng(epoch * 100003 + i)),
-                        mesh,
-                    )
-                    for i in range(args.steps_per_epoch)
-                )
+                # generate the GLOBAL batch identically on every process
+                # (seeded rng), then slice this process's contiguous block —
+                # keeps multi-process losses bit-identical to single-process
+                pid = jax.process_index()
+                for i in range(args.steps_per_epoch):
+                    b = synthetic_batch(
+                        cfg, cfg.global_batch_size,
+                        np.random.default_rng(epoch * 100003 + i))
+                    if local_bs != cfg.global_batch_size:
+                        b = {k: v[pid * local_bs:(pid + 1) * local_bs]
+                             for k, v in b.items()}
+                    yield shard_batch(b, mesh)
         else:
             from egovlpv2_tpu.data.datasets import EgoClipDataset
             from egovlpv2_tpu.data.loader import (
@@ -243,10 +251,9 @@ def cmd_pretrain(args):
                             vocab_cap=cfg.model.text.vocab_size)
             # scene negatives concat a second clip per item at collate time
             # (trainer_egoclip.py:112-116), so the loader batch is halved to
-            # keep the device-visible batch at global_batch_size.
-            loader_batch = cfg.global_batch_size // (
-                2 if args.neg_param else 1
-            )
+            # keep the device-visible batch at global_batch_size; on a pod
+            # each host additionally loads only its 1/process_count share.
+            loader_batch = local_bs // (2 if args.neg_param else 1)
             loader = DataLoader(
                 ds, loader_batch,
                 sampler=HostShardSampler(len(ds), jax.process_count(),
@@ -272,7 +279,7 @@ def cmd_pretrain(args):
             synthetic_batch(cfg, cfg.global_batch_size), seed=cfg.seed
         )
         if ckpt and args.resume:
-            restored = ckpt.restore(jax.device_get(state))
+            restored = ckpt.restore(host_state(state))
             if restored is not None:
                 from egovlpv2_tpu.parallel.mesh import replicate
 
@@ -294,7 +301,7 @@ def cmd_pretrain(args):
                     if stats:
                         stats.write(step, m)
                 if ckpt and step % args.ckpt_every == 0:
-                    ckpt.save(step, jax.device_get(state))
+                    ckpt.save(step, host_state(state))
             epoch_metrics = {k: float(v) for k, v in metrics.items()}
             if val_batches is not None:
                 val = evaluate_egomcq(eval_step, state.params, val_batches(epoch))
@@ -305,7 +312,7 @@ def cmd_pretrain(args):
                     stats.write(step, {f"val_{k}": v for k, v in val.items()})
             is_best = monitor.update(epoch_metrics) if monitor else False
             if ckpt:
-                ckpt.save(step, jax.device_get(state), metrics=epoch_metrics,
+                ckpt.save(step, host_state(state), metrics=epoch_metrics,
                           is_best=is_best)
             if monitor and monitor.should_stop:
                 log.info("early stop at epoch %d (no improvement in %d epochs, "
@@ -370,7 +377,9 @@ def _run_dual_ft(args, dataset_name: str):
         DataLoader, HostShardSampler, Tokenizer,
     )
     from egovlpv2_tpu.models.egovlp import EgoVLPv2
-    from egovlpv2_tpu.parallel.mesh import make_mesh, shard_batch
+    from egovlpv2_tpu.parallel.mesh import (
+        host_state, local_batch_size, make_mesh, shard_batch,
+    )
     from egovlpv2_tpu.tasks.retrieval import (
         epoch_milestone_schedule, make_dual_train_step,
     )
@@ -401,11 +410,13 @@ def _run_dual_ft(args, dataset_name: str):
     tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
                     vocab_cap=cfg.model.text.vocab_size)
 
+    local_bs = local_batch_size(cfg.global_batch_size)
     if args.synthetic:
         v = cfg.model.video
 
         def batches(epoch):
             rng = np.random.default_rng(epoch)
+            pid = jax.process_index()
             for _ in range(args.steps_per_epoch):
                 texts = ["someone does something"] * cfg.global_batch_size
                 enc = tok(texts)
@@ -421,6 +432,9 @@ def _run_dual_ft(args, dataset_name: str):
                     # (AdaptiveMaxMargin, model_epic_charades.py:410-441)
                     b["relevancy"] = np.ones(cfg.global_batch_size,
                                              np.float32)
+                if local_bs != cfg.global_batch_size:
+                    b = {k: val[pid * local_bs:(pid + 1) * local_bs]
+                         for k, val in b.items()}
                 yield shard_batch(b, mesh)
     else:
         from egovlpv2_tpu.data.datasets import (
@@ -444,7 +458,7 @@ def _run_dual_ft(args, dataset_name: str):
             return batch
 
         loader = DataLoader(
-            ds, cfg.global_batch_size,
+            ds, local_bs,
             sampler=HostShardSampler(len(ds), jax.process_count(),
                                      jax.process_index(), seed=cfg.seed),
             num_workers=args.num_workers, post_fn=post,
@@ -482,7 +496,7 @@ def _run_dual_ft(args, dataset_name: str):
                 if stats:
                     stats.write(step, {f"val_{k}": v for k, v in val.items()})
             if ckpt:
-                ckpt.save(step, jax.device_get(state))
+                ckpt.save(step, host_state(state))
         if ckpt:
             ckpt.wait()
     log.info("done at step %d", step)
@@ -521,6 +535,24 @@ def _make_dual_val(args, cfg, dataset_name, model, tok, log):
         with open(rel_path, "rb") as f:
             relevancy = pickle.load(f)
 
+        # official column alignment (metric.py:288-305): video ids from
+        # EPIC_100_retrieval_test.csv col 0, unique-sentence ids from
+        # EPIC_100_retrieval_test_sentence.csv col 0. Without these the
+        # similarity columns are misaligned with the relevancy matrix.
+        import pandas as pd
+
+        video_ids = pd.read_csv(os.path.join(
+            args.val_meta, "EPIC_100_retrieval_test.csv")).values[:, 0]
+        sent_path = os.path.join(
+            args.val_meta, "EPIC_100_retrieval_test_sentence.csv")
+        if os.path.exists(sent_path):
+            sentence_video_ids = pd.read_csv(sent_path).values[:, 0]
+        else:
+            log.warning("%s missing: MIR validation falls back to the "
+                        "square-similarity layout (synthetic-test only)",
+                        sent_path)
+            video_ids = sentence_video_ids = None
+
         def post(batch):
             enc = tok(batch.pop("text"))
             batch.update(enc)
@@ -530,12 +562,18 @@ def _make_dual_val(args, cfg, dataset_name, model, tok, log):
             loader = DataLoader(ds, args.val_batch_size, post_fn=post,
                                 drop_last=False, num_workers=num_workers)
             return evaluate_mir(model, params, loader.epoch(0),
-                                np.asarray(relevancy))
+                                np.asarray(relevancy),
+                                video_ids=video_ids,
+                                sentence_video_ids=sentence_video_ids)
 
         return run_val
 
     from egovlpv2_tpu.data.datasets import CharadesEgoDataset
 
+    if not getattr(args, "classes", None):
+        raise ValueError(
+            "--classes (157 class prompts, one per line) is required when "
+            "--val_meta is given for charades validation")
     ds = CharadesEgoDataset(
         args.val_meta, val_data, split="val",
         num_frames=cfg.model.video.num_frames,
@@ -567,6 +605,146 @@ def cmd_bench(args):
     import bench
 
     bench.main()
+
+
+def _emit_metrics(metrics: Dict[str, Any], out: Optional[str]):
+    line = json.dumps({k: float(v) for k, v in metrics.items()})
+    print(line)
+    if out:
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        with open(out, "w") as f:
+            f.write(line + "\n")
+
+
+def cmd_mq(args):
+    """EgoMQ: VSGN on extracted features -> proposals -> detection mAP
+    (EgoMQ/Train.py:24-65 + Infer/Eval scripts as one entry)."""
+    from egovlpv2_tpu.tasks.orchestrators import run_egomq
+
+    metrics = run_egomq(
+        args.anno, args.features, args.out, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, step_size=args.step_size,
+        gamma=args.gamma, temporal_scale=args.temporal_scale,
+        input_feat_dim=args.input_feat_dim, num_levels=args.num_levels,
+        window_stride=args.window_stride, use_vss=args.use_vss,
+    )
+    _emit_metrics(metrics, args.metrics_out)
+
+
+def cmd_nlq(args):
+    """EgoNLQ: official nlq json + extracted per-query features -> VSLNet ->
+    R@k/mIoU (EgoNLQ/main.py:197-330)."""
+    from egovlpv2_tpu.downstream.nlq_data import (
+        attach_feature_indices, load_nlq_annotations,
+    )
+    from egovlpv2_tpu.tasks.orchestrators import run_egonlq
+
+    train_rec = load_nlq_annotations(args.train_anno)
+    val_rec = load_nlq_annotations(args.val_anno)
+
+    # window counts come from the extracted feature dumps
+    # (<clip>_<ann>_<qidx>.npy written by extract_nlq_features)
+    nw: Dict[str, int] = {}
+    for r in train_rec + val_rec:
+        if r["clip_uid"] in nw:
+            continue
+        p = os.path.join(
+            args.features,
+            f"{r['clip_uid']}_{r['annotation_uid']}_{r['query_idx']}.npy")
+        if os.path.exists(p):
+            nw[r["clip_uid"]] = int(np.load(p, mmap_mode="r").shape[0])
+    train_meta = attach_feature_indices(train_rec, nw)
+    val_meta = attach_feature_indices(val_rec, nw)
+    gt = {(r["clip_uid"], r["annotation_uid"], r["query_idx"]):
+          (r["s_time"], r["e_time"]) for r in val_meta if "s_time" in r}
+
+    metrics = run_egonlq(
+        train_meta, val_meta, args.features, gt, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, max_pos_len=args.max_pos_len,
+        video_feature_dim=args.video_feature_dim,
+    )
+    _emit_metrics(metrics, args.metrics_out)
+
+
+def cmd_taskqa(args):
+    """EgoTaskQA: QA json + interval videos -> fused backbone + QA head ->
+    overall / per-reasoning-type accuracy (EgoTaskQA/main_end2end.py:84-185,
+    incl. --resume and --test_only modes :164-200)."""
+    from egovlpv2_tpu.data.loader import Tokenizer
+    from egovlpv2_tpu.downstream.datasets import EgoTaskQADataset
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.tasks.orchestrators import run_egotaskqa
+
+    cfg = load_train_config(args.config, args.set)
+    with open(args.answer_set) as f:  # output_dim == len(answers)
+        num_answers = len([line for line in f if line.strip()])
+    reasoning_types = []
+    if args.reasoning_types:
+        with open(args.reasoning_types) as f:
+            reasoning_types = [line.strip() for line in f if line.strip()]
+
+    tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+
+    class _TokenizedQA:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            item = self.ds[i]
+            enc = tok([item.pop("text")])
+            item["text_ids"] = enc["text_ids"][0]
+            item["text_mask"] = enc["text_mask"][0]
+            return item
+
+    mk = lambda qa_json, split: _TokenizedQA(EgoTaskQADataset(
+        qa_json, args.videos, num_frames=cfg.model.video.num_frames,
+        input_res=cfg.model.video.img_size, split=split))
+    train = mk(args.qa_train, "train")
+    val = mk(args.qa_val, "val")
+
+    backbone_params = None
+    if args.ckpt:
+        backbone_params = _load_params(EgoVLPv2(cfg.model), cfg, args.ckpt)
+
+    metrics = run_egotaskqa(
+        cfg.model, train, val, num_answers,
+        reasoning_types=reasoning_types, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, save_dir=args.save_dir,
+        resume=args.resume, test_only=args.test_only,
+        backbone_params=backbone_params,
+    )
+    _emit_metrics(metrics, args.metrics_out)
+
+
+def cmd_qfvs(args):
+    """QFVS: packed shot features + oracle summaries -> summary scorer ->
+    leave-one-out bipartite F1 (QFVS/main.py:37-54)."""
+    from egovlpv2_tpu.downstream.qfvs_data import QFVSDataset, load_videos_tag
+    from egovlpv2_tpu.tasks.orchestrators import run_qfvs
+
+    train_ids = [int(x) for x in args.train_videos.split(",")]
+    test_id = int(args.test_video)
+    feats = {}
+    for vid in train_ids + [test_id]:
+        with np.load(os.path.join(args.features, f"P0{vid}.npz")) as z:
+            feats[str(vid)] = {k: z[k] for k in (
+                "seg_len", "feat_concept1", "feat_concept2", "feat_oracle")}
+
+    mk = lambda ids: QFVSDataset(
+        args.oracle, args.tags, ids, feats,
+        max_segment_num=args.max_segments, max_frame_num=args.max_shots)
+    ds = mk(train_ids)
+    test_ds = mk([test_id])
+    test_items = [test_ds[i] for i in range(len(test_ds))]
+    shots_tag = load_videos_tag(args.tags_mat)[test_id - 1]
+
+    metrics = run_qfvs(ds, test_items, shots_tag, epochs=args.epochs,
+                       lr=args.lr, top_percent=args.top_percent)
+    _emit_metrics(metrics, args.metrics_out)
 
 
 def _add_common(p, with_data=True):
@@ -647,6 +825,71 @@ def main(argv=None):
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
+
+    m = sub.add_parser("mq", help="EgoMQ: train VSGN + infer + detection mAP")
+    m.add_argument("--anno", required=True, help="clip annotation json")
+    m.add_argument("--features", required=True, help="extracted feature dir")
+    m.add_argument("--out", required=True, help="work/output dir")
+    m.add_argument("--epochs", type=int, default=10)
+    m.add_argument("--batch_size", type=int, default=16)
+    m.add_argument("--lr", type=float, default=1e-4)
+    m.add_argument("--step_size", type=int, default=10)
+    m.add_argument("--gamma", type=float, default=0.5)
+    m.add_argument("--temporal_scale", type=int, default=928)
+    m.add_argument("--input_feat_dim", type=int, default=4096)
+    m.add_argument("--num_levels", type=int, default=5)
+    m.add_argument("--window_stride", type=int, default=None)
+    m.add_argument("--use_vss", action="store_true")
+    m.add_argument("--metrics_out", default=None)
+    m.set_defaults(fn=cmd_mq)
+
+    n = sub.add_parser("nlq", help="EgoNLQ: train VSLNet + official metrics")
+    n.add_argument("--train_anno", required=True, help="official nlq_train.json")
+    n.add_argument("--val_anno", required=True, help="official nlq_val.json")
+    n.add_argument("--features", required=True,
+                   help="dir of <clip>_<ann>_<qidx>.npy + *_query.npy dumps")
+    n.add_argument("--epochs", type=int, default=10)
+    n.add_argument("--batch_size", type=int, default=32)
+    n.add_argument("--lr", type=float, default=1e-3)
+    n.add_argument("--max_pos_len", type=int, default=256)
+    n.add_argument("--video_feature_dim", type=int, default=768)
+    n.add_argument("--metrics_out", default=None)
+    n.set_defaults(fn=cmd_nlq)
+
+    t = sub.add_parser("taskqa", help="EgoTaskQA: QA fine-tune + accuracy")
+    _add_common(t, with_data=False)
+    t.add_argument("--qa_train", required=True, help="train QA json")
+    t.add_argument("--qa_val", required=True, help="val/test QA json")
+    t.add_argument("--videos", required=True, help="interval .mp4 dir")
+    t.add_argument("--answer_set", required=True,
+                   help="answer_set.txt (one answer per line)")
+    t.add_argument("--reasoning_types", default=None,
+                   help="all_reasoning_types.txt")
+    t.add_argument("--ckpt", default=None, help="pretrained backbone ckpt")
+    t.add_argument("--save_dir", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--test_only", action="store_true")
+    t.add_argument("--epochs", type=int, default=1)
+    t.add_argument("--batch_size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=2e-4)
+    t.add_argument("--metrics_out", default=None)
+    t.set_defaults(fn=cmd_taskqa)
+
+    q = sub.add_parser("qfvs", help="QFVS: summary scorer + bipartite F1")
+    q.add_argument("--oracle", required=True, help="Oracle_Summaries root")
+    q.add_argument("--tags", required=True, help="Dense_per_shot_tags root")
+    q.add_argument("--tags_mat", required=True, help="Tags.mat path")
+    q.add_argument("--features", required=True,
+                   help="dir of P0<v>.npz packed shot features")
+    q.add_argument("--train_videos", required=True, help="e.g. 1,2,3")
+    q.add_argument("--test_video", required=True)
+    q.add_argument("--epochs", type=int, default=5)
+    q.add_argument("--lr", type=float, default=1e-4)
+    q.add_argument("--top_percent", type=float, default=0.02)
+    q.add_argument("--max_segments", type=int, default=20)
+    q.add_argument("--max_shots", type=int, default=200)
+    q.add_argument("--metrics_out", default=None)
+    q.set_defaults(fn=cmd_qfvs)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -153,6 +153,23 @@ def read_frames_cv2_charades(
     return _stack01(frames), ok_idxs
 
 
+def read_frames_av(video_path, num_frames, sample="rand", fix_start=None, rng=None):
+    """PyAV reader for containers cv2 seeks poorly (webm): decode the whole
+    stream, then sample (base_dataset.py:356-370)."""
+    import av  # optional dependency
+
+    frames: List[np.ndarray] = []
+    try:
+        with av.open(video_path) as reader:
+            frames = [f.to_rgb().to_ndarray() for f in reader.decode(video=0)]
+    except Exception as exc:  # mirrors the reference's empty-list fallback
+        print(f"{type(exc).__name__}: av reader cannot open {video_path}. "
+              f"Empty list returned.")
+    idxs = sample_frames(num_frames, len(frames), sample=sample,
+                         fix_start=fix_start, rng=rng)
+    return _stack01([frames[i] for i in idxs]), idxs
+
+
 def read_frames_decord(video_path, num_frames, sample="rand", fix_start=None, rng=None):
     import decord  # optional dependency
 
@@ -173,6 +190,7 @@ def read_frames_decord_start_end(video_path, start, end, num_frames):
 
 
 VIDEO_READERS = {
+    "av": read_frames_av,
     "cv2": read_frames_cv2,
     "cv2_egoclip": read_frames_cv2_egoclip,
     "cv2_epic": read_frames_cv2_epic,

@@ -43,8 +43,47 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree onto the mesh's data axis.
+
+    Single-process: a plain `jax.device_put` of the global host batch.
+    Multi-process (a real pod): each process passes only its OWN slice —
+    `global_batch_size // process_count` rows, as produced by
+    `HostShardSampler` — and the global array is assembled with
+    `jax.make_array_from_process_local_data`. This is the TPU-native
+    equivalent of the reference's per-rank DistributedSampler feed
+    (multinode_train_egoclip.py:63-99, base/base_data_loader.py:130).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Rows THIS process must feed `shard_batch` (global // process_count)."""
+    nproc = jax.process_count()
+    if global_batch_size % nproc:
+        raise ValueError(
+            f"global_batch_size {global_batch_size} not divisible by "
+            f"process_count {nproc}")
+    return global_batch_size // nproc
+
+
+def host_state(state):
+    """Materialize a TrainState for checkpointing.
+
+    Single-process: fetch to host numpy (`jax.device_get`). Multi-process:
+    return the global jax.Arrays unchanged — orbax saves them collectively
+    (every process writes its addressable shards), and `jax.device_get` on a
+    non-fully-addressable array would raise.
+    """
+    if jax.process_count() > 1:
+        return state
+    return jax.device_get(state)
 
 
 # Megatron-style tensor-parallel rules for the big matmuls, applied by regex

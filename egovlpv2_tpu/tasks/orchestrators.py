@@ -209,18 +209,29 @@ def run_egonlq(
 
 def run_egotaskqa(
     backbone_cfg,
-    train_items: List[Dict],  # dicts with video/text_ids/text_mask/answer
-    val_items: List[Dict],
+    train_items,  # indexable of dicts with video/text_ids/text_mask/answer
+    val_items,
     num_answers: int,
     reasoning_types: Sequence[str] = (),
     epochs: int = 1,
     batch_size: int = 8,
     lr: float = 2e-4,
     warmup_frac: float = 0.1,
+    save_dir: Optional[str] = None,
+    resume: bool = False,
+    test_only: bool = False,
+    backbone_params=None,
 ) -> Dict[str, float]:
     """Fine-tune the fused backbone + QA head, report overall and
     per-reasoning-type accuracy (EgoTaskQA/main_end2end.py:84-200 recipe:
-    single-LR AdamW + cosine warmup)."""
+    single-LR AdamW + cosine warmup).
+
+    `save_dir` checkpoints the TrainState each epoch; `resume` restarts from
+    the latest checkpoint (main_end2end.py:164-172: global_step -> epoch);
+    `test_only` skips training and evaluates the restored checkpoint
+    (main_end2end.py:174-200). `backbone_params` overlays pretrained EgoVLPv2
+    weights onto the backbone submodule before training.
+    """
     import optax
 
     from egovlpv2_tpu.data.loader import DataLoader, default_collate
@@ -230,39 +241,68 @@ def run_egotaskqa(
     from egovlpv2_tpu.train.step import TrainState
 
     model = make_qa_model(backbone_cfg, num_answers)
-    total_steps = max(epochs * (len(train_items) // batch_size), 1)
+    steps_per_epoch = max(len(train_items) // batch_size, 1)
+    total_steps = max(epochs * steps_per_epoch, 1)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, lr, max(int(total_steps * warmup_frac), 1), total_steps)
     tx = optax.adamw(sched, weight_decay=0.01)
 
-    ex = default_collate(train_items[:batch_size])
+    ex = default_collate([train_items[j]
+                          for j in range(min(batch_size, len(train_items)))])
     params = model.init(
         jax.random.PRNGKey(0), jnp.asarray(ex["video"][:1]),
         jnp.asarray(ex["text_ids"][:1]), jnp.asarray(ex["text_mask"][:1]),
     )["params"]
+    if backbone_params is not None:
+        # intersection overlay: the QA init only creates the fused-encode
+        # path, while a pretrain checkpoint carries projection/MLM heads too
+        def overlay(dst, src):
+            out = {}
+            for k, v in dst.items():
+                if k not in src:
+                    out[k] = v
+                elif isinstance(v, dict):
+                    out[k] = overlay(v, dict(src[k]))
+                else:
+                    out[k] = src[k]
+            return out
+
+        params = dict(params, backbone=overlay(dict(params["backbone"]),
+                                               dict(backbone_params)))
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
                        jax.random.PRNGKey(1))
-    step = make_qa_train_step(model, tx)
 
-    class _ListDS:
-        def __len__(self):
-            return len(train_items)
+    ckpt = None
+    start_epoch = 0
+    if save_dir:
+        from egovlpv2_tpu.train.checkpoint import CheckpointManager
 
-        def __getitem__(self, i):
-            return train_items[i % len(train_items)]
+        ckpt = CheckpointManager(save_dir)
+        if resume or test_only:
+            restored = ckpt.restore(jax.device_get(state))
+            if restored is not None:
+                state = restored
+                start_epoch = int(state.step) // steps_per_epoch
+            elif test_only:
+                raise FileNotFoundError(
+                    f"test_only: no checkpoint found under {save_dir}")
 
-    loader = DataLoader(_ListDS(), batch_size)
-    for epoch in range(epochs):
-        for batch in loader.epoch(epoch):
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k != "reasoning_types"}
-            state, _ = step(state, jb)
+    if not test_only:
+        step = make_qa_train_step(model, tx)
+        loader = DataLoader(train_items, batch_size)
+        for epoch in range(start_epoch, epochs):
+            for batch in loader.epoch(epoch):
+                jb = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k != "reasoning_types"}
+                state, _ = step(state, jb)
+            if ckpt:
+                ckpt.save(int(state.step), jax.device_get(state))
+        if ckpt:
+            ckpt.wait()
 
     val_batches = []
-    for i in range(0, len(val_items), batch_size):
-        chunk = val_items[i : i + batch_size]
-        if len(chunk) < batch_size:
-            continue
+    for i in range(0, len(val_items) - batch_size + 1, batch_size):
+        chunk = [val_items[j] for j in range(i, i + batch_size)]
         b = default_collate(chunk)
         b["reasoning_types"] = [it.get("reasoning_types", []) for it in chunk]
         val_batches.append(b)

@@ -63,6 +63,34 @@ def synthetic_batch(
     }
 
 
+def tiny_train_config() -> TrainConfig:
+    """Small-but-complete pretrain config for dryruns and multi-process tests:
+    every architectural feature on (fusion blocks, both heads, remat) at toy
+    widths so a full train step compiles in seconds on CPU."""
+    from egovlpv2_tpu.core.config import (
+        FusionConfig, OptimConfig, TextEncoderConfig, VideoEncoderConfig,
+    )
+
+    return TrainConfig(
+        model=ModelConfig(
+            video=VideoEncoderConfig(
+                img_size=32, patch_size=16, embed_dim=32, depth=4,
+                num_heads=2, num_frames=2,
+            ),
+            text=TextEncoderConfig(
+                vocab_size=256, hidden_size=32, num_layers=4, num_heads=2,
+                intermediate_size=64, max_position_embeddings=40,
+            ),
+            fusion=FusionConfig(num_fuse_block=2, dim_video=32, dim_text=32,
+                                hidden_size=32),
+            projection_dim=64,
+            remat=True,
+        ),
+        optim=OptimConfig(max_steps=10),
+        max_text_len=12,
+    )
+
+
 def build_pretrain(cfg: TrainConfig, mesh=None, loss_scale: float = 1.0):
     """Returns (model, tx, train_step, init_state_fn)."""
     model = EgoVLPv2(cfg.model)

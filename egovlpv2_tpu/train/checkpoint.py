@@ -30,7 +30,11 @@ class CheckpointManager:
 
     def save(self, step: int, state, metrics: Optional[dict] = None,
              is_best: bool = False):
+        # multi-process: every process must call save (orbax coordinates the
+        # collective write of global arrays); sidecar json is process-0 only
         self._mngr.save(step, args=ocp.args.StandardSave(state))
+        if jax.process_index() != 0:
+            return
         if metrics is not None:
             with open(os.path.join(self._dir, f"metrics_{step}.json"), "w") as f:
                 json.dump({k: float(v) for k, v in metrics.items()}, f)

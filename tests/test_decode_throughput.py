@@ -67,3 +67,25 @@ def test_loader_decodes_all_clips_from_disk(mp4_dir, num_workers):
     print(f"\n[decode-throughput] num_workers={num_workers}: "
           f"{clips_per_s:.1f} clips/s from disk ({dt*1000:.0f} ms total)")
     assert clips_per_s > 1.0  # loose floor; informational metric above
+
+
+def test_video_readers_registry_complete():
+    """All 7 reference reader keys (base_dataset.py:399-407)."""
+    assert set(readers.VIDEO_READERS) == {
+        "av", "cv2", "cv2_epic", "cv2_charades", "cv2_egoclip",
+        "decord", "decord_start_end",
+    }
+
+
+def test_read_frames_av(mp4_dir):
+    pytest.importorskip("av")
+    frames, idxs = readers.read_frames_av(
+        str(sorted(mp4_dir.glob("*.mp4"))[0]), FRAMES_PER_CLIP,
+        sample="uniform")
+    assert frames.shape == (FRAMES_PER_CLIP, RES, RES, 3)
+    assert frames.dtype == np.float32 and 0.0 <= frames.max() <= 1.0
+    ref, _ = readers.read_frames_cv2(
+        str(sorted(mp4_dir.glob("*.mp4"))[0]), FRAMES_PER_CLIP,
+        sample="uniform")
+    # same sampling math, same decoder family: frames should broadly agree
+    assert frames.shape == ref.shape
