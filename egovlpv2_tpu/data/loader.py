@@ -135,8 +135,9 @@ class DataLoader:
     `num_workers` threads decode items concurrently (cv2/ffmpeg release the
     GIL); a coordinator thread keeps `prefetch` whole batches in flight and
     preserves batch order, so consumers see the same stream a sequential
-    loader would produce. Threads, not processes: the hot path is C decode
-    code, and the C++ videoproc library handles the numpy-side transform.
+    loader would produce. Threads, not processes: the hot path is C code
+    that releases the GIL — the decoder, and (when built) the C++ videoproc
+    library that transforms.py routes resize/normalize through.
     """
 
     def __init__(

@@ -25,7 +25,28 @@ def _find_lib() -> Optional[str]:
     ):
         if cand and os.path.exists(cand):
             return cand
-    return None
+    _try_build(os.path.join(here, "native"))
+    cand = os.path.join(here, "native", "libvideoproc.so")
+    return cand if os.path.exists(cand) else None
+
+
+def _try_build(native_dir: str) -> None:
+    """Self-provision: build libvideoproc.so once if a compiler is present
+    (set EGOVLP_NO_NATIVE_BUILD=1 to disable)."""
+    import shutil
+    import subprocess
+
+    if os.environ.get("EGOVLP_NO_NATIVE_BUILD"):
+        return
+    if not os.path.exists(os.path.join(native_dir, "videoproc.cpp")):
+        return
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        return
+    try:
+        subprocess.run(["make", "-C", native_dir], check=False,
+                       capture_output=True, timeout=180)
+    except Exception:
+        pass
 
 
 def load() -> Optional[ctypes.CDLL]:

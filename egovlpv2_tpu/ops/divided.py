@@ -64,68 +64,217 @@ def _group_ids(idx: jax.Array, axis: str, n_patches: int) -> jax.Array:
     return (idx - 1) % n_patches
 
 
-def _mask_bias(lo: int, bq: int, s: int, axis: str, n_patches: int):
+def _mask_bias(lo: int, bq: int, s: int, axis: str, n_patches: int,
+               c0: int = 0):
+    """Group-mask bias for query rows [lo, lo+bq) x key cols [c0, c0+s)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + lo
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1) + c0
     allowed = (rows == 0) | (cols == 0) | (
         _group_ids(rows, axis, n_patches) == _group_ids(cols, axis, n_patches)
     )
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
 
 
+_LANE = 128  # TPU lane width; key windows snap to it
+
+
+def _space_window(lo: int, bq: int, s: int, n_patches: int):
+    """Lane-aligned key window covering every frame the query tile's patch
+    rows [max(lo,1), lo+bq) can see on the space axis. All other keys are
+    group-masked anyway, so the dense dot can skip them: FLOPs drop from
+    S^2 to ~S*(bq + n_patches) with identical masked-softmax math. Keys
+    pulled in by alignment are killed by the group mask. Returns (k0, kw);
+    k0 > 0 tiles additionally need the CLS key column (handled by the
+    caller as a separate 8-wide block — k0 is a multiple of 128, so the
+    blocks never overlap)."""
+    first = max(lo, 1)
+    fmin = (first - 1) // n_patches
+    fmax = (lo + bq - 2) // n_patches
+    k0 = ((1 + fmin * n_patches) // _LANE) * _LANE
+    k1 = min(-(-(1 + (fmax + 1) * n_patches) // _LANE) * _LANE, s)
+    return k0, k1 - k0
+
+
+# Above this S the space axis switches to windowed keys (the pretrain shape
+# S=785 keeps the measured-optimal whole-row dense form). Env-overridable
+# for experiments.
+import os as _os
+
+_SPACE_WINDOW_MIN_S = int(_os.environ.get("EGOVLP_SPACE_WINDOW_MIN", "1024"))
+_WIN_BLOCK_Q = 256
+
+
+def _windowed(axis: str, s: int) -> bool:
+    return axis == "space" and s > _SPACE_WINDOW_MIN_S
+
+
+def _acc_add(buf, start: int, upd):
+    """buf[start:start+len(upd)] += upd with static offsets (Mosaic-safe:
+    jnp's .at[].add lowers to a scatter that captures index constants)."""
+    if upd.shape[0] == buf.shape[0]:
+        return buf + upd
+    cur = jax.lax.dynamic_slice_in_dim(buf, start, upd.shape[0], 0)
+    return jax.lax.dynamic_update_slice_in_dim(buf, cur + upd, start, 0)
+
+
+def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
+    """Masked-softmax attention of one query tile against a key window,
+    optionally joined with a separate 8-wide CLS key block (one softmax
+    across both logit blocks — no lane concat)."""
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias
+    if kc is None:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        return jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    lc = jax.lax.dot_general(
+        q, kc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + cls_bias
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                    jnp.max(lc, axis=-1, keepdims=True))
+    p = jnp.exp(logits - m)
+    pc = jnp.exp(lc - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.sum(pc, axis=-1,
+                                                         keepdims=True)
+    out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(pc, vc.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return out / denom
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, num_frames,
                 n_patches, block_q):
     del num_frames
     s = q_ref.shape[3]
+    win = _windowed(axis, s)
     k = k_ref[0, 0, 0]  # [S, Dh]; dots take the input dtype (bf16 MXU rate)
     v = v_ref[0, 0, 0]
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        bias = _mask_bias(lo, bq, s, axis, n_patches)
+        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
+        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
         q = q_ref[0, 0, 0, lo:lo + bq, :]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias  # [bq, S]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        if k0 > 0:
+            out = _tile_attend(q, k[k0:k0 + kw], v[k0:k0 + kw], bias, scale,
+                               k[0:8], v[0:8],
+                               _mask_bias(lo, bq, 8, axis, n_patches))
+        else:
+            out = _tile_attend(q, k[:kw], v[:kw], bias, scale)
         o_ref[0, 0, lo:lo + bq, :] = out.astype(o_ref.dtype)
+    if win:
+        # CLS-row correction: row 0 attends over ALL keys, which no window
+        # covers. Rows 1..7 recompute their (identical) group-masked result
+        # so the 8-row store stays sublane-aligned.
+        bias8 = _mask_bias(0, 8, s, axis, n_patches)
+        out8 = _tile_attend(q_ref[0, 0, 0, 0:8, :], k, v, bias8, scale)
+        o_ref[0, 0, 0:8, :] = out8.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
                 num_frames, n_patches, block_q):
     del num_frames
     s, dh = q_ref.shape[3], q_ref.shape[4]
+    win = _windowed(axis, s)
     k = k_ref[0, 0, 0]
     v = v_ref[0, 0, 0]
     dk = jnp.zeros((s, dh), jnp.float32)
     dv = jnp.zeros((s, dh), jnp.float32)
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        bias = _mask_bias(lo, bq, s, axis, n_patches)
+        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
+        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
         qraw = q_ref[0, 0, 0, lo:lo + bq, :]
         g = g_ref[0, 0, lo:lo + bq, :]
+        if win and lo == 0:
+            # row 0 (CLS query) is differentiated by the full-row pass
+            # below; zero its cotangent in this window-limited tile
+            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 0)
+            g = g * (rows != 0).astype(g.dtype)
+        kwin, vwin = k[k0:k0 + kw], v[k0:k0 + kw]
         logits = jax.lax.dot_general(
-            qraw, k, (((1,), (1,)), ((), ())),
+            qraw, kwin, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bq, S]
+        if k0 > 0:
+            kc, vc = k[0:8], v[0:8]
+            lc = jax.lax.dot_general(
+                qraw, kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) * scale + _mask_bias(lo, bq, 8, axis, n_patches)
+            m = jnp.maximum(jnp.max(logits, -1, keepdims=True),
+                            jnp.max(lc, -1, keepdims=True))
+            p = jnp.exp(logits - m)
+            pc = jnp.exp(lc - m)
+            denom = jnp.sum(p, -1, keepdims=True) + jnp.sum(pc, -1,
+                                                            keepdims=True)
+            p = p / denom
+            pc = pc / denom
+        else:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bq, kw]
+            pc = None
         p_c = p.astype(g.dtype)
-        dv = dv + jax.lax.dot_general(  # p^T @ g
+        dv = _acc_add(dv, k0, jax.lax.dot_general(  # p^T @ g
             p_c, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32))
         dp = jax.lax.dot_general(  # g @ v^T
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+            g, vwin, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dot_term = jnp.sum(dp * p, axis=-1, keepdims=True)
+        if pc is not None:
+            dpc = jax.lax.dot_general(
+                g.astype(jnp.float32), vc.astype(jnp.float32),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            dot_term = dot_term + jnp.sum(dpc * pc, axis=-1, keepdims=True)
+        ds = (dp - dot_term) * p
         ds_c = ds.astype(k.dtype)
         dq = scale * jax.lax.dot_general(
-            ds_c, k, (((1,), (0,)), ((), ())),
+            ds_c, kwin, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if pc is not None:
+            dsc = (dpc - dot_term) * pc  # [bq, 8] f32
+            dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
+                                      preferred_element_type=jnp.float32)
+            dk = _acc_add(dk, 0, scale * jax.lax.dot_general(
+                dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dv = _acc_add(dv, 0, jax.lax.dot_general(
+                pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
         dqkv_ref[0, 0, 0, lo:lo + bq, :] = dq.astype(dqkv_ref.dtype)
-        dk = dk + scale * jax.lax.dot_general(  # ds^T @ qraw
+        dk = _acc_add(dk, k0, scale * jax.lax.dot_general(  # ds^T @ qraw
             ds_c, qraw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    if win:
+        # full CLS-row pass: only row 0's cotangent participates
+        q8 = q_ref[0, 0, 0, 0:8, :]
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+        g8 = g_ref[0, 0, 0:8, :] * (rows8 == 0).astype(g_ref.dtype)
+        bias8 = _mask_bias(0, 8, s, axis, n_patches)
+        logits8 = jax.lax.dot_general(
+            q8, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias8
+        m8 = jnp.max(logits8, -1, keepdims=True)
+        p8 = jnp.exp(logits8 - m8)
+        p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+        p8_c = p8.astype(g8.dtype)
+        dv = dv + jax.lax.dot_general(
+            p8_c, g8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp8 = jax.lax.dot_general(
+            g8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+        ds8_c = ds8.astype(k.dtype)
+        dq8 = scale * jax.lax.dot_general(
+            ds8_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # tile 0 wrote rows 0..7 with row 0 zeroed; add row 0's true grad
+        dqkv_ref[0, 0, 0, 0:8, :] = (
+            dqkv_ref[0, 0, 0, 0:8, :] + dq8.astype(dqkv_ref.dtype))
+        dk = dk + scale * jax.lax.dot_general(
+            ds8_c, q8, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
     dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
@@ -165,65 +314,146 @@ def _packed_heads(h: int, dh: int, s: int, itemsize: int,
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                        hp, dh, block_q):
     s = q_ref.shape[1]
+    win = _windowed(axis, s)
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        bias = _mask_bias(lo, bq, s, axis, n_patches)  # shared by all heads
+        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
+        # masks are shared by all heads in the program
+        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
+        cls_bias = (_mask_bias(lo, bq, 8, axis, n_patches) if k0 > 0
+                    else None)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
             # dots take the input dtype directly (bf16 runs the MXU at
             # double the f32 rate and halves VMEM); accumulate + softmax
             # in f32 with the scale folded into the f32 logits
             q = q_ref[0, lo:lo + bq, sl]
-            k = k_ref[0, :, sl]
-            v = v_ref[0, :, sl]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            out = jnp.dot(p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32)
+            k = k_ref[0, k0:k0 + kw, sl]
+            v = v_ref[0, k0:k0 + kw, sl]
+            if k0 > 0:
+                out = _tile_attend(q, k, v, bias, scale,
+                                   k_ref[0, 0:8, sl], v_ref[0, 0:8, sl],
+                                   cls_bias)
+            else:
+                out = _tile_attend(q, k, v, bias, scale)
             o_ref[0, lo:lo + bq, sl] = out.astype(o_ref.dtype)
+    if win:
+        bias8 = _mask_bias(0, 8, s, axis, n_patches)
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            out8 = _tile_attend(q_ref[0, 0:8, sl], k_ref[0, :, sl],
+                                v_ref[0, :, sl], bias8, scale)
+            o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                        scale, axis, n_patches, hp, dh, block_q):
     s = q_ref.shape[1]
+    win = _windowed(axis, s)
     # tile-outer / head-inner: the mask is built once per query tile and
     # shared by all heads; dk/dv accumulate per head across tiles
     dks = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
     dvs = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        bias = _mask_bias(lo, bq, s, axis, n_patches)
+        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
+        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
+        cls_bias = (_mask_bias(lo, bq, 8, axis, n_patches) if k0 > 0
+                    else None)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
-            k = k_ref[0, :, sl]
-            v = v_ref[0, :, sl]
+            k = k_ref[0, k0:k0 + kw, sl]
+            v = v_ref[0, k0:k0 + kw, sl]
             qraw = q_ref[0, lo:lo + bq, sl]
             g = g_ref[0, lo:lo + bq, sl]
+            if win and lo == 0:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 0)
+                g = g * (rows != 0).astype(g.dtype)
             logits = jax.lax.dot_general(
                 qraw, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + bias
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            if k0 > 0:
+                kc = k_ref[0, 0:8, sl]
+                vc = v_ref[0, 0:8, sl]
+                lc = jax.lax.dot_general(
+                    qraw, kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale + cls_bias
+                m = jnp.maximum(jnp.max(logits, -1, keepdims=True),
+                                jnp.max(lc, -1, keepdims=True))
+                p = jnp.exp(logits - m)
+                pc = jnp.exp(lc - m)
+                denom = (jnp.sum(p, -1, keepdims=True)
+                         + jnp.sum(pc, -1, keepdims=True))
+                p = p / denom
+                pc = pc / denom
+            else:
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                p = jnp.exp(logits - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                pc = None
             p_c = p.astype(g.dtype)
-            dvs[j] = dvs[j] + jax.lax.dot_general(
+            dvs[j] = _acc_add(dvs[j], k0, jax.lax.dot_general(
                 p_c, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32))
             dp = jax.lax.dot_general(
                 g, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p
+            dot_term = jnp.sum(dp * p, axis=-1, keepdims=True)
+            if pc is not None:
+                dpc = jax.lax.dot_general(
+                    g.astype(jnp.float32), vc.astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dot_term = dot_term + jnp.sum(dpc * pc, -1, keepdims=True)
+            ds = (dp - dot_term) * p
             ds_c = ds.astype(k.dtype)
             dq = scale * jax.lax.dot_general(
                 ds_c, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            if pc is not None:
+                dsc = (dpc - dot_term) * pc
+                dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
+                                          preferred_element_type=jnp.float32)
+                dks[j] = _acc_add(dks[j], 0, scale * jax.lax.dot_general(
+                    dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dvs[j] = _acc_add(dvs[j], 0, jax.lax.dot_general(
+                    pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
             dq_ref[0, lo:lo + bq, sl] = dq.astype(dq_ref.dtype)
-            dks[j] = dks[j] + scale * jax.lax.dot_general(
+            dks[j] = _acc_add(dks[j], k0, scale * jax.lax.dot_general(
                 ds_c, qraw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    if win:
+        bias8 = _mask_bias(0, 8, s, axis, n_patches)
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            q8 = q_ref[0, 0:8, sl]
+            k = k_ref[0, :, sl]
+            v = v_ref[0, :, sl]
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+            g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
+            logits8 = jax.lax.dot_general(
+                q8, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias8
+            m8 = jnp.max(logits8, -1, keepdims=True)
+            p8 = jnp.exp(logits8 - m8)
+            p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+            dvs[j] = dvs[j] + jax.lax.dot_general(
+                p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp8 = jax.lax.dot_general(
+                g8, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+            ds8_c = ds8.astype(k.dtype)
+            dq8 = scale * jax.lax.dot_general(
+                ds8_c, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_ref[0, 0:8, sl] = (dq_ref[0, 0:8, sl]
+                                  + dq8.astype(dq_ref.dtype))
+            dks[j] = dks[j] + scale * jax.lax.dot_general(
+                ds8_c, q8, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     for j in range(hp):
         sl = slice(j * dh, (j + 1) * dh)
@@ -246,7 +476,7 @@ def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     kernel = functools.partial(
         _packed_fwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
-        block_q=min(s, 1024),
+        block_q=min(s, _WIN_BLOCK_Q if _windowed(axis, s) else 1024),
     )
     return pl.pallas_call(
         kernel,
@@ -264,7 +494,7 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
     kernel = functools.partial(
         _packed_bwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
-        block_q=min(s, 512),
+        block_q=min(s, _WIN_BLOCK_Q if _windowed(axis, s) else 512),
     )
     spec = pl.BlockSpec((1, s, hp * dh), lambda b_, g_: (b_, 0, g_),
                         memory_space=pltpu.VMEM)
@@ -330,11 +560,16 @@ def _cost(b, h, s, dh, bwd=False):
 
 def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
     _, b, h, s, dh = qkv3.shape
-    # the [block_q, S] f32 softmax workspace must fit VMEM at long S
+    # the [block_q, window] f32 softmax workspace must fit VMEM at long S;
+    # windowed space tiles shrink the key dim to ~(block_q + n_patches)
+    if _windowed(axis, s):
+        block_q = min(s, _WIN_BLOCK_Q)
+    else:
+        block_q = min(s, 1024 if s <= 1536 else (256 if s <= 4096 else 128))
     kernel = functools.partial(
         _fwd_kernel, scale=scale, axis=axis, num_frames=num_frames,
         n_patches=(s - 1) // num_frames,
-        block_q=min(s, 1024 if s <= 1536 else 256),
+        block_q=block_q,
     )
     return pl.pallas_call(
         kernel,
@@ -350,11 +585,16 @@ def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
 def _bwd_pallas(qkv3: jax.Array, g: jax.Array, scale: float, axis: str,
                 num_frames: int):
     _, b, h, s, dh = qkv3.shape
-    # backward holds ~4 dense [block_q, S] f32 intermediates at once
+    # backward holds ~4 [block_q, window] f32 intermediates + the f32 dk/dv
+    # accumulators at once
+    if _windowed(axis, s):
+        block_q = min(s, _WIN_BLOCK_Q)
+    else:
+        block_q = min(s, 512 if s <= 1536 else 128)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, axis=axis, num_frames=num_frames,
         n_patches=(s - 1) // num_frames,
-        block_q=min(s, 512 if s <= 1536 else 128),
+        block_q=block_q,
     )
     return pl.pallas_call(
         kernel,
@@ -382,10 +622,11 @@ def _divided_fwd(qkv3, scale, axis, num_frames):
 
 def _divided_bwd(scale, axis, num_frames, qkv3, g):
     s = qkv3.shape[3]
-    if s > _PACKED_MAX_S:
-        # the in-kernel dense recompute exceeds VMEM at long sequences
-        # (measured: 22.5M scoped vmem at S=3137); differentiate the XLA
-        # einsum path instead — same math, flash-style recompute in HBM
+    if s > _PACKED_MAX_S and not _windowed(axis, s):
+        # long-sequence TIME axis: the dense in-kernel recompute exceeds
+        # VMEM (measured: 22.5M scoped vmem at S=3137); differentiate the
+        # XLA einsum path instead — same math, grouped recompute in HBM.
+        # (The windowed SPACE backward fits VMEM at any S.)
         qkv = qkv3.transpose(1, 3, 0, 2, 4)  # [B, S, 3, H, Dh]
         _, vjp = jax.vjp(
             lambda x: _divided_xla(x, scale, axis, num_frames), qkv)

@@ -2,10 +2,18 @@
 //
 // The reference's host hot path (SURVEY.md §2.8, §7 hard-part 3) is
 // cv2/torchvision per-frame resize + crop + normalize inside DataLoader
-// workers. This library provides the same ops as a single fused pass over a
-// clip with a std::thread pool, exposed through a C ABI consumed via ctypes
-// (egovlpv2_tpu/data/native.py). Layout: channels-last uint8 in, float32
-// out — exactly what the TPU patchify conv consumes.
+// workers. This library provides those ops over a whole clip with a
+// std::thread pool, exposed through a C ABI consumed via ctypes
+// (egovlpv2_tpu/data/native.py; auto-built on first use). Layout:
+// channels-last uint8 in, float32 out — what the TPU patchify consumes.
+//
+// Production wiring (measured on the target host, transforms.py):
+//   * clip_normalize_f32 IS the transform tail — in-place, no temporaries,
+//     measured 2.1-2.8x over the numpy broadcast.
+//   * the resize kernels LOST to cv2's SIMD fixed-point resize (0.82 ms vs
+//     3.9 ms for 4x256->224 f32); transforms keep cv2 for resize and this
+//     file keeps the float-exact kernels as the no-cv2 fallback + the
+//     parity reference for tests.
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC -pthread)
 

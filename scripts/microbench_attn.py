@@ -33,6 +33,9 @@ CASES = [
     ("time_pretrain", "time", 16, 4, 196, 12, 64),
     ("space_eval16f", "space", 4, 16, 196, 12, 64),
     ("time_eval16f", "time", 4, 16, 196, 12, 64),
+    # ft-charades trains at 32 frames (S=6273)
+    ("space_ft32f", "space", 2, 32, 196, 12, 64),
+    ("time_ft32f", "time", 2, 32, 196, 12, 64),
 ]
 
 N_ITER = 24
@@ -63,7 +66,10 @@ def _measure(run_fn, qkv, repeats=4):
 
 def main():
     rs = np.random.RandomState(0)
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
     for name, axis, b, f, n, h, dh in CASES:
+        if only and only not in name:
+            continue
         s = 1 + f * n
         qkv = jnp.asarray(rs.randn(b, s, 3, h, dh), jnp.bfloat16)
         scale = dh ** -0.5

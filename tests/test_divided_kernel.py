@@ -144,3 +144,65 @@ def test_video_block_pallas_impl_matches_xla():
         got = blk_p.apply({"params": params}, x, f, text)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+def test_gradients_long_sequence_windowed_space():
+    """Above _SPACE_WINDOW_MIN_S the space axis runs the windowed-key
+    kernels (fwd + pallas bwd with the CLS row/column handled out of
+    window); gradients must match grad-of-xla."""
+    from egovlpv2_tpu.ops import divided
+
+    b, f, n, h, dh = FWD_ONLY_CASES[0]
+    s = 1 + f * n
+    assert divided._windowed("space", s)
+    rs = np.random.RandomState(7)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="space", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_windowed_packed_path_parity():
+    """Force windowing below the production threshold so the PACKED kernels'
+    windowed branches (fwd + bwd, CLS block + joint softmax) are exercised
+    at the pretrain-like shape."""
+    from egovlpv2_tpu.ops import divided
+
+    b, f, n, h, dh = 2, 4, 196, 2, 64
+    s = 1 + f * n
+    rs = np.random.RandomState(9)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="space", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    old = divided._SPACE_WINDOW_MIN_S
+    divided._SPACE_WINDOW_MIN_S = 512
+    try:
+        assert divided._windowed("space", s)
+        ref = divided_attention(qkv, scale=scale, axis="space", num_frames=f,
+                                impl="xla")
+        ref_g = jax.grad(lambda x: loss(x, "xla"))(qkv)
+        with pltpu.force_tpu_interpret_mode():
+            got = divided_attention(qkv, scale=scale, axis="space",
+                                    num_frames=f, impl="pallas")
+            got_g = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    finally:
+        divided._SPACE_WINDOW_MIN_S = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=2e-4, atol=2e-4)
