@@ -19,29 +19,42 @@ A masked softmax over the dense row equals the grouped softmax exactly
 (masked logits vanish), so this is bit-equivalent math to the reference's
 einops regroup — without the regroup. Compared to a per-group formulation,
 the dense [S,64]x[64,S] dots trade ~4x (space) / ~150x (time) redundant
-FLOPs for MXU-shaped work; measured on v5e this wins by a wide margin
-because the grouped variant is launch- and VPU-bound (the time axis has only
-F+1 keys per query). Logits/probabilities never leave VMEM; the custom-VJP
-backward recomputes them in VMEM (flash-style) and emits dqkv in one pass.
+FLOPs for MXU-shaped work; measured on v5e this wins by a wide margin at the
+4-frame pretrain shape because the grouped variant is launch- and VPU-bound.
+Logits/probabilities never leave VMEM; the custom-VJP backward recomputes
+them in VMEM (flash-style) and emits dqkv in one pass.
 
-Two layouts, chosen by `divided_attention`:
+Three regimes, chosen by `divided_attention`:
 
-  * **lane-packed** (production: S <= 1536 and 128-alignable head groups):
-    the kernel reads the qkv projection output [B, S, 3*H*Dh] directly
-    through lane-block specs — q/k/v are lane slices of the same array —
-    and writes [B, S, H*Dh] for the output projection. Zero layout copies
-    in or out (XLA cannot fuse a transpose into a custom-call operand, so
-    any other layout costs two HBM copies per call). Several heads per
-    program amortize the mask build; the backward emits dq/dk/dv as three
-    lane-blocked outputs whose concat fuses into the qkv-Dense backward.
-  * **per-head [3, B, H, S, Dh]** (long sequences / odd head geometries):
-    one program per (batch, head) DMAs contiguous [S, Dh] slabs after an
-    explicit transpose. Beyond S=1536 the backward routes through the XLA
-    einsum recompute (the in-kernel dense recompute exceeds scoped VMEM).
+  * **lane-packed dense** (production pretrain: S <= 1536 and 128-alignable
+    head groups): the kernel reads the qkv projection output [B, S, 3*H*Dh]
+    directly through lane-block specs — q/k/v are lane slices of the same
+    array — and writes [B, S, H*Dh] for the output projection. Zero layout
+    copies in or out (XLA cannot fuse a transpose into a custom-call
+    operand, so any other layout costs two HBM copies per call). Several
+    heads per program amortize the mask build; the backward emits dq/dk/dv
+    as three lane-blocked outputs whose concat fuses into the qkv-Dense
+    backward.
+  * **per-head frame-block (windowed) space** (long sequences, 16/32-frame
+    eval/fine-tune): query tiles are exactly one frame (N rows); each tile
+    dots against its own N keys plus an 8-wide CLS key block, joint softmax
+    across both logit blocks. The in-frame mask is identically ZERO (every
+    key in a tile's window shares its frame), so the only mask constant is
+    a [N, 8] CLS-column bias — FLOPs drop from S^2 to ~S*(N+8) per head
+    (16x at 16 frames, 32x at 32) with bit-identical masked-softmax math,
+    and the backward fits scoped VMEM at any S. The CLS row (full-sequence
+    attention) runs as a separate 8-row dense pass. Frame-aligned tiles
+    keep every mask a shared constant: Mosaic hoists per-tile constants and
+    stack-allocates ALL of them, so tile-varying masks OOM scoped vmem at
+    S=6273 (measured 17M/16M).
+  * **per-head dense** ([3, B, H, S, Dh]; long-S time axis / odd head
+    geometries): one program per (batch, head) DMAs contiguous [S, Dh]
+    slabs after an explicit transpose. Beyond S=1536 the TIME backward
+    routes through the XLA einsum recompute (the in-kernel dense recompute
+    exceeds scoped VMEM); the windowed SPACE backward is in-kernel at any S.
 
-Query tiling (block_q) bounds VMEM at large S (16/32-frame eval). Measured
-v5e step impact at batch 16: 697 ms (XLA path) -> 376 ms (packed kernel);
-per-op: 2.0x XLA forward, 1.7-1.9x fwd+bwd at the pretrain shapes.
+Measured v5e step impact at batch 16: 697 ms (XLA path) -> 376 ms (packed
+kernel); per-op: 2.0x XLA forward, 1.7-1.9x fwd+bwd at the pretrain shapes.
 """
 
 from __future__ import annotations
@@ -75,33 +88,20 @@ def _mask_bias(lo: int, bq: int, s: int, axis: str, n_patches: int,
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
 
 
-_LANE = 128  # TPU lane width; key windows snap to it
+def _cls_col_bias(bq: int) -> jax.Array:
+    """[bq, 8] bias for the standalone CLS key block of the frame-block
+    kernels: only column 0 (the real CLS key) is live; columns 1..7 are
+    frame-0 patch keys already covered by some frame window."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, 8), 1)
+    return jnp.where(cols == 0, 0.0, NEG_INF).astype(jnp.float32)
 
 
-def _space_window(lo: int, bq: int, s: int, n_patches: int):
-    """Lane-aligned key window covering every frame the query tile's patch
-    rows [max(lo,1), lo+bq) can see on the space axis. All other keys are
-    group-masked anyway, so the dense dot can skip them: FLOPs drop from
-    S^2 to ~S*(bq + n_patches) with identical masked-softmax math. Keys
-    pulled in by alignment are killed by the group mask. Returns (k0, kw);
-    k0 > 0 tiles additionally need the CLS key column (handled by the
-    caller as a separate 8-wide block — k0 is a multiple of 128, so the
-    blocks never overlap)."""
-    first = max(lo, 1)
-    fmin = (first - 1) // n_patches
-    fmax = (lo + bq - 2) // n_patches
-    k0 = ((1 + fmin * n_patches) // _LANE) * _LANE
-    k1 = min(-(-(1 + (fmax + 1) * n_patches) // _LANE) * _LANE, s)
-    return k0, k1 - k0
-
-
-# Above this S the space axis switches to windowed keys (the pretrain shape
-# S=785 keeps the measured-optimal whole-row dense form). Env-overridable
-# for experiments.
+# Above this S the space axis switches to the frame-block (windowed) kernels
+# on the per-head path (the pretrain shape S=785 keeps the measured-optimal
+# lane-packed whole-row dense form). Env-overridable for experiments.
 import os as _os
 
 _SPACE_WINDOW_MIN_S = int(_os.environ.get("EGOVLP_SPACE_WINDOW_MIN", "1024"))
-_WIN_BLOCK_Q = 256
 
 
 def _windowed(axis: str, s: int) -> bool:
@@ -109,21 +109,33 @@ def _windowed(axis: str, s: int) -> bool:
 
 
 def _acc_add(buf, start: int, upd):
-    """buf[start:start+len(upd)] += upd with static offsets (Mosaic-safe:
-    jnp's .at[].add lowers to a scatter that captures index constants)."""
-    if upd.shape[0] == buf.shape[0]:
+    """buf[start:start+len(upd)] += upd with static offsets. Mosaic has no
+    dynamic_slice lowering even for constant starts, so build the update
+    from static `slice` primitives + one concat (start/len are Python ints,
+    so everything lowers to static ops)."""
+    n = upd.shape[0]
+    if n == buf.shape[0]:
         return buf + upd
-    cur = jax.lax.dynamic_slice_in_dim(buf, start, upd.shape[0], 0)
-    return jax.lax.dynamic_update_slice_in_dim(buf, cur + upd, start, 0)
+    parts = []
+    if start > 0:
+        parts.append(jax.lax.slice_in_dim(buf, 0, start, axis=0))
+    parts.append(jax.lax.slice_in_dim(buf, start, start + n, axis=0) + upd)
+    if start + n < buf.shape[0]:
+        parts.append(jax.lax.slice_in_dim(buf, start + n, buf.shape[0],
+                                          axis=0))
+    return jnp.concatenate(parts, axis=0)
 
 
 def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
     """Masked-softmax attention of one query tile against a key window,
     optionally joined with a separate 8-wide CLS key block (one softmax
-    across both logit blocks — no lane concat)."""
+    across both logit blocks — no lane concat). bias=None means the window
+    is fully allowed (frame-block tiles)."""
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + bias
+        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias
     if kc is None:
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
@@ -148,134 +160,163 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, num_frames,
                 n_patches, block_q):
     del num_frames
     s = q_ref.shape[3]
-    win = _windowed(axis, s)
     k = k_ref[0, 0, 0]  # [S, Dh]; dots take the input dtype (bf16 MXU rate)
     v = v_ref[0, 0, 0]
-    for lo in range(0, s, block_q):
-        bq = min(block_q, s - lo)
-        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
-        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
-        q = q_ref[0, 0, 0, lo:lo + bq, :]
-        if k0 > 0:
-            out = _tile_attend(q, k[k0:k0 + kw], v[k0:k0 + kw], bias, scale,
-                               k[0:8], v[0:8],
-                               _mask_bias(lo, bq, 8, axis, n_patches))
-        else:
-            out = _tile_attend(q, k[:kw], v[:kw], bias, scale)
-        o_ref[0, 0, lo:lo + bq, :] = out.astype(o_ref.dtype)
-    if win:
-        # CLS-row correction: row 0 attends over ALL keys, which no window
-        # covers. Rows 1..7 recompute their (identical) group-masked result
-        # so the 8-row store stays sublane-aligned.
-        bias8 = _mask_bias(0, 8, s, axis, n_patches)
+    if _windowed(axis, s):
+        # frame-block tiles: one frame of queries vs its own keys + CLS.
+        # All masks are tile-independent constants (see module docstring).
+        n = n_patches
+        kc, vc = k[0:8], v[0:8]
+        clsb = _cls_col_bias(n)
+        for lo in range(1, s, n):
+            q = q_ref[0, 0, 0, lo:lo + n, :]
+            out = _tile_attend(q, k[lo:lo + n], v[lo:lo + n], None, scale,
+                               kc, vc, clsb)
+            o_ref[0, 0, lo:lo + n, :] = out.astype(o_ref.dtype)
+        # CLS row attends the full sequence; rows 1..7 recompute their
+        # (identical) in-frame result so the 8-row store stays aligned.
+        bias8 = _mask_bias(0, 8, s, axis, n)
         out8 = _tile_attend(q_ref[0, 0, 0, 0:8, :], k, v, bias8, scale)
         o_ref[0, 0, 0:8, :] = out8.astype(o_ref.dtype)
+        return
+    for lo in range(0, s, block_q):
+        bq = min(block_q, s - lo)
+        bias = _mask_bias(lo, bq, s, axis, n_patches)
+        q = q_ref[0, 0, 0, lo:lo + bq, :]
+        out = _tile_attend(q, k, v, bias, scale)
+        o_ref[0, 0, lo:lo + bq, :] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
                 num_frames, n_patches, block_q):
     del num_frames
     s, dh = q_ref.shape[3], q_ref.shape[4]
-    win = _windowed(axis, s)
     k = k_ref[0, 0, 0]
     v = v_ref[0, 0, 0]
+    if _windowed(axis, s):
+        _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v,
+                         scale=scale, axis=axis, n_patches=n_patches)
+        return
     dk = jnp.zeros((s, dh), jnp.float32)
     dv = jnp.zeros((s, dh), jnp.float32)
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
-        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
+        bias = _mask_bias(lo, bq, s, axis, n_patches)
         qraw = q_ref[0, 0, 0, lo:lo + bq, :]
         g = g_ref[0, 0, lo:lo + bq, :]
-        if win and lo == 0:
-            # row 0 (CLS query) is differentiated by the full-row pass
-            # below; zero its cotangent in this window-limited tile
-            rows = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 0)
-            g = g * (rows != 0).astype(g.dtype)
-        kwin, vwin = k[k0:k0 + kw], v[k0:k0 + kw]
         logits = jax.lax.dot_general(
-            qraw, kwin, (((1,), (1,)), ((), ())),
+            qraw, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + bias
-        if k0 > 0:
-            kc, vc = k[0:8], v[0:8]
-            lc = jax.lax.dot_general(
-                qraw, kc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32
-            ) * scale + _mask_bias(lo, bq, 8, axis, n_patches)
-            m = jnp.maximum(jnp.max(logits, -1, keepdims=True),
-                            jnp.max(lc, -1, keepdims=True))
-            p = jnp.exp(logits - m)
-            pc = jnp.exp(lc - m)
-            denom = jnp.sum(p, -1, keepdims=True) + jnp.sum(pc, -1,
-                                                            keepdims=True)
-            p = p / denom
-            pc = pc / denom
-        else:
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bq, kw]
-            pc = None
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # [bq, s]
         p_c = p.astype(g.dtype)
-        dv = _acc_add(dv, k0, jax.lax.dot_general(  # p^T @ g
+        dv = dv + jax.lax.dot_general(  # p^T @ g
             p_c, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(  # g @ v^T
-            g, vwin, (((1,), (1,)), ((), ())),
+            g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dot_term = jnp.sum(dp * p, axis=-1, keepdims=True)
-        if pc is not None:
-            dpc = jax.lax.dot_general(
-                g.astype(jnp.float32), vc.astype(jnp.float32),
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            dot_term = dot_term + jnp.sum(dpc * pc, axis=-1, keepdims=True)
         ds = (dp - dot_term) * p
+        ds_c = ds.astype(k.dtype)
+        dq = scale * jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dqkv_ref[0, 0, 0, lo:lo + bq, :] = dq.astype(dqkv_ref.dtype)
+        dk = dk + scale * jax.lax.dot_general(  # ds^T @ qraw
+            ds_c, qraw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
+    dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
+
+
+def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
+                     axis, n_patches):
+    """Windowed-space backward: frame-block tiles (disjoint key windows) +
+    CLS column accumulation + a full-row CLS-query pass."""
+    s, dh = q_ref.shape[3], q_ref.shape[4]
+    n = n_patches
+    kc, vc = k[0:8], v[0:8]
+    clsb = _cls_col_bias(n)
+    # CLS-row pass first: it contributes dk/dv over ALL rows, so it seeds
+    # the accumulators. Only row 0's cotangent participates.
+    q8 = q_ref[0, 0, 0, 0:8, :]
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+    g8 = g_ref[0, 0, 0:8, :] * (rows8 == 0).astype(g_ref.dtype)
+    bias8 = _mask_bias(0, 8, s, axis, n)
+    logits8 = jax.lax.dot_general(
+        q8, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale + bias8
+    m8 = jnp.max(logits8, -1, keepdims=True)
+    p8 = jnp.exp(logits8 - m8)
+    p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+    dv = jax.lax.dot_general(
+        p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp8 = jax.lax.dot_general(
+        g8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+    ds8_c = ds8.astype(k.dtype)
+    dq8 = scale * jax.lax.dot_general(
+        ds8_c, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = scale * jax.lax.dot_general(
+        ds8_c, q8, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    for lo in range(1, s, n):
+        kwin, vwin = k[lo:lo + n], v[lo:lo + n]
+        qraw = q_ref[0, 0, 0, lo:lo + n, :]
+        g = g_ref[0, 0, lo:lo + n, :]
+        logits = jax.lax.dot_general(
+            qraw, kwin, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        lc = jax.lax.dot_general(
+            qraw, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + clsb
+        m = jnp.maximum(jnp.max(logits, -1, keepdims=True),
+                        jnp.max(lc, -1, keepdims=True))
+        p = jnp.exp(logits - m)
+        pc = jnp.exp(lc - m)
+        denom = jnp.sum(p, -1, keepdims=True) + jnp.sum(pc, -1, keepdims=True)
+        p = p / denom
+        pc = pc / denom
+        p_c = p.astype(g.dtype)
+        dv = _acc_add(dv, lo, jax.lax.dot_general(
+            p_c, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(
+            g, vwin, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpc = jax.lax.dot_general(
+            g.astype(jnp.float32), vc.astype(jnp.float32),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        dot_term = (jnp.sum(dp * p, axis=-1, keepdims=True)
+                    + jnp.sum(dpc * pc, axis=-1, keepdims=True))
+        ds = (dp - dot_term) * p
+        dsc = (dpc - dot_term) * pc  # [n, 8] f32
         ds_c = ds.astype(k.dtype)
         dq = scale * jax.lax.dot_general(
             ds_c, kwin, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        if pc is not None:
-            dsc = (dpc - dot_term) * pc  # [bq, 8] f32
-            dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
-                                      preferred_element_type=jnp.float32)
-            dk = _acc_add(dk, 0, scale * jax.lax.dot_general(
-                dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dv = _acc_add(dv, 0, jax.lax.dot_general(
-                pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        dqkv_ref[0, 0, 0, lo:lo + bq, :] = dq.astype(dqkv_ref.dtype)
-        dk = _acc_add(dk, k0, scale * jax.lax.dot_general(  # ds^T @ qraw
+        dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32)
+        dqkv_ref[0, 0, 0, lo:lo + n, :] = dq.astype(dqkv_ref.dtype)
+        dk = _acc_add(dk, lo, scale * jax.lax.dot_general(
             ds_c, qraw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    if win:
-        # full CLS-row pass: only row 0's cotangent participates
-        q8 = q_ref[0, 0, 0, 0:8, :]
-        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-        g8 = g_ref[0, 0, 0:8, :] * (rows8 == 0).astype(g_ref.dtype)
-        bias8 = _mask_bias(0, 8, s, axis, n_patches)
-        logits8 = jax.lax.dot_general(
-            q8, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias8
-        m8 = jnp.max(logits8, -1, keepdims=True)
-        p8 = jnp.exp(logits8 - m8)
-        p8 = p8 / jnp.sum(p8, -1, keepdims=True)
-        p8_c = p8.astype(g8.dtype)
-        dv = dv + jax.lax.dot_general(
-            p8_c, g8, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp8 = jax.lax.dot_general(
-            g8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
-        ds8_c = ds8.astype(k.dtype)
-        dq8 = scale * jax.lax.dot_general(
-            ds8_c, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # tile 0 wrote rows 0..7 with row 0 zeroed; add row 0's true grad
-        dqkv_ref[0, 0, 0, 0:8, :] = (
-            dqkv_ref[0, 0, 0, 0:8, :] + dq8.astype(dqkv_ref.dtype))
-        dk = dk + scale * jax.lax.dot_general(
-            ds8_c, q8, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dk = _acc_add(dk, 0, scale * jax.lax.dot_general(
+            dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dv = _acc_add(dv, 0, jax.lax.dot_general(
+            pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    # rows 1..7 of dq were written by tile 0 (offset 1); row 0 only by the
+    # CLS pass (dq8 rows 1..7 are zero because g8 was masked). Merge.
+    rows8d = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+    cur8 = dqkv_ref[0, 0, 0, 0:8, :]
+    merged = jnp.where(rows8d == 0, dq8.astype(dqkv_ref.dtype), cur8)
+    dqkv_ref[0, 0, 0, 0:8, :] = merged
     dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
     dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
 
@@ -314,146 +355,60 @@ def _packed_heads(h: int, dh: int, s: int, itemsize: int,
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                        hp, dh, block_q):
     s = q_ref.shape[1]
-    win = _windowed(axis, s)
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
         # masks are shared by all heads in the program
-        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
-        cls_bias = (_mask_bias(lo, bq, 8, axis, n_patches) if k0 > 0
-                    else None)
+        bias = _mask_bias(lo, bq, s, axis, n_patches)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
             # dots take the input dtype directly (bf16 runs the MXU at
             # double the f32 rate and halves VMEM); accumulate + softmax
             # in f32 with the scale folded into the f32 logits
             q = q_ref[0, lo:lo + bq, sl]
-            k = k_ref[0, k0:k0 + kw, sl]
-            v = v_ref[0, k0:k0 + kw, sl]
-            if k0 > 0:
-                out = _tile_attend(q, k, v, bias, scale,
-                                   k_ref[0, 0:8, sl], v_ref[0, 0:8, sl],
-                                   cls_bias)
-            else:
-                out = _tile_attend(q, k, v, bias, scale)
+            k = k_ref[0, :, sl]
+            v = v_ref[0, :, sl]
+            out = _tile_attend(q, k, v, bias, scale)
             o_ref[0, lo:lo + bq, sl] = out.astype(o_ref.dtype)
-    if win:
-        bias8 = _mask_bias(0, 8, s, axis, n_patches)
-        for j in range(hp):
-            sl = slice(j * dh, (j + 1) * dh)
-            out8 = _tile_attend(q_ref[0, 0:8, sl], k_ref[0, :, sl],
-                                v_ref[0, :, sl], bias8, scale)
-            o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                        scale, axis, n_patches, hp, dh, block_q):
     s = q_ref.shape[1]
-    win = _windowed(axis, s)
     # tile-outer / head-inner: the mask is built once per query tile and
     # shared by all heads; dk/dv accumulate per head across tiles
     dks = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
     dvs = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
-        k0, kw = _space_window(lo, bq, s, n_patches) if win else (0, s)
-        bias = _mask_bias(lo, bq, kw, axis, n_patches, c0=k0)
-        cls_bias = (_mask_bias(lo, bq, 8, axis, n_patches) if k0 > 0
-                    else None)
+        bias = _mask_bias(lo, bq, s, axis, n_patches)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
-            k = k_ref[0, k0:k0 + kw, sl]
-            v = v_ref[0, k0:k0 + kw, sl]
+            k = k_ref[0, :, sl]
+            v = v_ref[0, :, sl]
             qraw = q_ref[0, lo:lo + bq, sl]
             g = g_ref[0, lo:lo + bq, sl]
-            if win and lo == 0:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (bq, dh), 0)
-                g = g * (rows != 0).astype(g.dtype)
             logits = jax.lax.dot_general(
                 qraw, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + bias
-            if k0 > 0:
-                kc = k_ref[0, 0:8, sl]
-                vc = v_ref[0, 0:8, sl]
-                lc = jax.lax.dot_general(
-                    qraw, kc, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale + cls_bias
-                m = jnp.maximum(jnp.max(logits, -1, keepdims=True),
-                                jnp.max(lc, -1, keepdims=True))
-                p = jnp.exp(logits - m)
-                pc = jnp.exp(lc - m)
-                denom = (jnp.sum(p, -1, keepdims=True)
-                         + jnp.sum(pc, -1, keepdims=True))
-                p = p / denom
-                pc = pc / denom
-            else:
-                m = jnp.max(logits, axis=-1, keepdims=True)
-                p = jnp.exp(logits - m)
-                p = p / jnp.sum(p, axis=-1, keepdims=True)
-                pc = None
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
             p_c = p.astype(g.dtype)
-            dvs[j] = _acc_add(dvs[j], k0, jax.lax.dot_general(
+            dvs[j] = dvs[j] + jax.lax.dot_general(
                 p_c, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
+                preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(
                 g, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dot_term = jnp.sum(dp * p, axis=-1, keepdims=True)
-            if pc is not None:
-                dpc = jax.lax.dot_general(
-                    g.astype(jnp.float32), vc.astype(jnp.float32),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dot_term = dot_term + jnp.sum(dpc * pc, -1, keepdims=True)
             ds = (dp - dot_term) * p
             ds_c = ds.astype(k.dtype)
             dq = scale * jax.lax.dot_general(
                 ds_c, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            if pc is not None:
-                dsc = (dpc - dot_term) * pc
-                dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
-                                          preferred_element_type=jnp.float32)
-                dks[j] = _acc_add(dks[j], 0, scale * jax.lax.dot_general(
-                    dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                dvs[j] = _acc_add(dvs[j], 0, jax.lax.dot_general(
-                    pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
             dq_ref[0, lo:lo + bq, sl] = dq.astype(dq_ref.dtype)
-            dks[j] = _acc_add(dks[j], k0, scale * jax.lax.dot_general(
-                ds_c, qraw, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-    if win:
-        bias8 = _mask_bias(0, 8, s, axis, n_patches)
-        for j in range(hp):
-            sl = slice(j * dh, (j + 1) * dh)
-            q8 = q_ref[0, 0:8, sl]
-            k = k_ref[0, :, sl]
-            v = v_ref[0, :, sl]
-            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-            g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
-            logits8 = jax.lax.dot_general(
-                q8, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias8
-            m8 = jnp.max(logits8, -1, keepdims=True)
-            p8 = jnp.exp(logits8 - m8)
-            p8 = p8 / jnp.sum(p8, -1, keepdims=True)
-            dvs[j] = dvs[j] + jax.lax.dot_general(
-                p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp8 = jax.lax.dot_general(
-                g8, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
-            ds8_c = ds8.astype(k.dtype)
-            dq8 = scale * jax.lax.dot_general(
-                ds8_c, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dq_ref[0, 0:8, sl] = (dq_ref[0, 0:8, sl]
-                                  + dq8.astype(dq_ref.dtype))
             dks[j] = dks[j] + scale * jax.lax.dot_general(
-                ds8_c, q8, (((0,), (0,)), ((), ())),
+                ds_c, qraw, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     for j in range(hp):
         sl = slice(j * dh, (j + 1) * dh)
@@ -476,7 +431,7 @@ def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     kernel = functools.partial(
         _packed_fwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
-        block_q=min(s, _WIN_BLOCK_Q if _windowed(axis, s) else 1024),
+        block_q=min(s, 1024),
     )
     return pl.pallas_call(
         kernel,
@@ -485,7 +440,7 @@ def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
         out_specs=pl.BlockSpec((1, s, hp * dh), lambda b_, g: (b_, 0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h * dh), qkv_flat.dtype),
-        cost_estimate=_cost(b, h, s, dh),
+        cost_estimate=_cost(b, h, s, dh, axis=axis),
     )(qkv_flat, qkv_flat, qkv_flat)
 
 
@@ -494,7 +449,7 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
     kernel = functools.partial(
         _packed_bwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
-        block_q=min(s, _WIN_BLOCK_Q if _windowed(axis, s) else 512),
+        block_q=min(s, 512),
     )
     spec = pl.BlockSpec((1, s, hp * dh), lambda b_, g_: (b_, 0, g_),
                         memory_space=pltpu.VMEM)
@@ -505,7 +460,7 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
         in_specs=_packed_specs(s, h, dh, hp) + [spec],
         out_specs=(spec, spec, spec),
         out_shape=(shp, shp, shp),
-        cost_estimate=_cost(b, h, s, dh, bwd=True),
+        cost_estimate=_cost(b, h, s, dh, bwd=True, axis=axis),
     )(qkv_flat, qkv_flat, qkv_flat, g)
     # XLA fuses this concat into the qkv-Dense backward dots
     return jnp.concatenate([dq, dk, dv], axis=-1)
@@ -535,7 +490,8 @@ _packed_pallas.defvjp(_packed_fwd, _packed_bwd)
 
 
 # ---------------------------------------------------------------------------
-# per-head kernels on [3, B, H, S, Dh] (fallback for long sequences)
+# per-head kernels on [3, B, H, S, Dh] (long sequences: frame-block space,
+# dense time)
 # ---------------------------------------------------------------------------
 
 
@@ -548,24 +504,25 @@ def _qkv_specs(s: int, dh: int):
     ]
 
 
-def _cost(b, h, s, dh, bwd=False):
-    # dense masked attention: QK^T + PV (+3 more dense dots in bwd)
-    flops = (5 if bwd else 2) * 2 * b * h * s * s * dh
+def _cost(b, h, s, dh, bwd=False, axis="space"):
+    if _windowed(axis, s):
+        # frame-block: each row dots ~(n_patches + 8) keys; CLS row dense
+        flops = (5 if bwd else 2) * 2 * b * h * s * 256 * dh
+    else:
+        # dense masked attention: QK^T + PV (+3 more dense dots in bwd)
+        flops = (5 if bwd else 2) * 2 * b * h * s * s * dh
     return pl.CostEstimate(
         flops=flops,
         bytes_accessed=(5 if bwd else 4) * b * h * s * dh * 4,
-        transcendentals=b * h * s * s,
+        transcendentals=b * h * s * (256 if _windowed(axis, s) else s),
     )
 
 
 def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
     _, b, h, s, dh = qkv3.shape
-    # the [block_q, window] f32 softmax workspace must fit VMEM at long S;
-    # windowed space tiles shrink the key dim to ~(block_q + n_patches)
-    if _windowed(axis, s):
-        block_q = min(s, _WIN_BLOCK_Q)
-    else:
-        block_q = min(s, 1024 if s <= 1536 else (256 if s <= 4096 else 128))
+    # dense path: the [block_q, S] f32 softmax workspace must fit VMEM at
+    # long S. The windowed path ignores block_q (tiles are one frame).
+    block_q = min(s, 1024 if s <= 1536 else (256 if s <= 4096 else 128))
     kernel = functools.partial(
         _fwd_kernel, scale=scale, axis=axis, num_frames=num_frames,
         n_patches=(s - 1) // num_frames,
@@ -578,19 +535,16 @@ def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
         out_specs=pl.BlockSpec((1, 1, s, dh), lambda b_, h_: (b_, h_, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, s, dh), qkv3.dtype),
-        cost_estimate=_cost(b, h, s, dh),
+        cost_estimate=_cost(b, h, s, dh, axis=axis),
     )(qkv3, qkv3, qkv3)
 
 
 def _bwd_pallas(qkv3: jax.Array, g: jax.Array, scale: float, axis: str,
                 num_frames: int):
     _, b, h, s, dh = qkv3.shape
-    # backward holds ~4 [block_q, window] f32 intermediates + the f32 dk/dv
-    # accumulators at once
-    if _windowed(axis, s):
-        block_q = min(s, _WIN_BLOCK_Q)
-    else:
-        block_q = min(s, 512 if s <= 1536 else 128)
+    # dense backward holds ~4 [block_q, S] f32 intermediates + the f32
+    # dk/dv accumulators at once
+    block_q = min(s, 512 if s <= 1536 else 128)
     kernel = functools.partial(
         _bwd_kernel, scale=scale, axis=axis, num_frames=num_frames,
         n_patches=(s - 1) // num_frames,
@@ -607,7 +561,7 @@ def _bwd_pallas(qkv3: jax.Array, g: jax.Array, scale: float, axis: str,
                                lambda b_, h_: (0, b_, h_, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qkv3.shape, qkv3.dtype),
-        cost_estimate=_cost(b, h, s, dh, bwd=True),
+        cost_estimate=_cost(b, h, s, dh, bwd=True, axis=axis),
     )(qkv3, qkv3, qkv3, g)
 
 
@@ -626,7 +580,7 @@ def _divided_bwd(scale, axis, num_frames, qkv3, g):
         # long-sequence TIME axis: the dense in-kernel recompute exceeds
         # VMEM (measured: 22.5M scoped vmem at S=3137); differentiate the
         # XLA einsum path instead — same math, grouped recompute in HBM.
-        # (The windowed SPACE backward fits VMEM at any S.)
+        # (The frame-block SPACE backward fits VMEM at any S.)
         qkv = qkv3.transpose(1, 3, 0, 2, 4)  # [B, S, 3, H, Dh]
         _, vjp = jax.vjp(
             lambda x: _divided_xla(x, scale, axis, num_frames), qkv)
@@ -700,7 +654,8 @@ def divided_attention(
     b, s, _, h, dh = qkv.shape
     hp = _packed_heads(h, dh, s, qkv.dtype.itemsize)
     hp_bwd = _packed_heads(h, dh, s, qkv.dtype.itemsize, budget=_BWD_BUDGET)
-    if hp is not None and hp_bwd is not None and s <= _PACKED_MAX_S:
+    if (hp is not None and hp_bwd is not None and s <= _PACKED_MAX_S
+            and not _windowed(axis, s)):
         # zero-copy path: the reshape below undoes the caller's reshape of
         # the qkv Dense output, so the kernel reads the matmul result as-is
         out = _packed_pallas(qkv.reshape(b, s, 3 * h * dh), scale, axis,

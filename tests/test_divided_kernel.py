@@ -171,10 +171,11 @@ def test_gradients_long_sequence_windowed_space():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_windowed_packed_path_parity():
-    """Force windowing below the production threshold so the PACKED kernels'
-    windowed branches (fwd + bwd, CLS block + joint softmax) are exercised
-    at the pretrain-like shape."""
+def test_windowed_frame_block_parity_pretrain_shape():
+    """Force windowing below the production threshold so the frame-block
+    kernels (fwd + bwd, CLS block + joint softmax) are exercised at the
+    pretrain-like shape (windowed shapes always route to the per-head
+    path; the packed kernels stay dense)."""
     from egovlpv2_tpu.ops import divided
 
     b, f, n, h, dh = 2, 4, 196, 2, 64
