@@ -108,22 +108,90 @@ def _windowed(axis: str, s: int) -> bool:
     return axis == "space" and s > _SPACE_WINDOW_MIN_S
 
 
-def _acc_add(buf, start: int, upd):
-    """buf[start:start+len(upd)] += upd with static offsets. Mosaic has no
-    dynamic_slice lowering even for constant starts, so build the update
-    from static `slice` primitives + one concat (start/len are Python ints,
-    so everything lowers to static ops)."""
-    n = upd.shape[0]
-    if n == buf.shape[0]:
-        return buf + upd
-    parts = []
-    if start > 0:
-        parts.append(jax.lax.slice_in_dim(buf, 0, start, axis=0))
-    parts.append(jax.lax.slice_in_dim(buf, start, start + n, axis=0) + upd)
-    if start + n < buf.shape[0]:
-        parts.append(jax.lax.slice_in_dim(buf, start + n, buf.shape[0],
-                                          axis=0))
-    return jnp.concatenate(parts, axis=0)
+# The dense formulation wastes ~S/(F+1) of its key FLOPs on the time axis
+# (~150x at 4 frames). Up to this frame count the packed kernels use the
+# frame-pair formulation instead: logits via rowwise dots (VPU elementwise
+# mul + lane reduce), which is bandwidth-bound rather than MXU-bound.
+_TIME_FP_MAX_F = int(_os.environ.get("EGOVLP_TIME_FP_MAX_F", "8"))
+
+
+def _time_fp(axis: str, num_frames: int) -> bool:
+    return axis == "time" and num_frames <= _TIME_FP_MAX_F
+
+
+def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
+    """Frame-pair time attention for one head. q_slabs[f] = frame f's
+    patch rows [N, Dh] (f32); k0/v0 = the CLS key/value row [1, Dh].
+    Each patch query attends its own patch column across frames + CLS:
+    logit(f->g) is a rowwise dot (same patch index n on both sides), an
+    elementwise multiply + lane reduce — no [S, S] matrix ever exists.
+    Softmax runs over F+1 per-column logit vectors without concatenation.
+    Returns the per-frame output slabs (f32)."""
+    F = len(q_slabs)
+    outs = []
+    for f in range(F):
+        q = q_slabs[f]
+        lall = [jnp.sum(q * k0, -1, keepdims=True) * scale]
+        for g in range(F):
+            lall.append(jnp.sum(q * k_slabs[g], -1, keepdims=True) * scale)
+        m = lall[0]
+        for x in lall[1:]:
+            m = jnp.maximum(m, x)
+        ps = [jnp.exp(x - m) for x in lall]
+        denom = ps[0]
+        for x in ps[1:]:
+            denom = denom + x
+        out = ps[0] * v0
+        for g in range(F):
+            out = out + ps[g + 1] * v_slabs[g]
+        outs.append(out / denom)
+    return outs
+
+
+def _time_fp_backward(q_slabs, k_slabs, v_slabs, k0, v0, g_slabs, scale):
+    """Backward of `_time_fp_attend`. Returns (dq_slabs, dk_slabs,
+    dv_slabs, dk0, dv0); the CLS key/value grads reduce over rows."""
+    F = len(q_slabs)
+    dk_slabs = [None] * F
+    dv_slabs = [None] * F
+    dq_slabs = []
+    dk0 = dv0 = None
+    for f in range(F):
+        q, gout = q_slabs[f], g_slabs[f]
+        lall = [jnp.sum(q * k0, -1, keepdims=True) * scale]
+        for g in range(F):
+            lall.append(jnp.sum(q * k_slabs[g], -1, keepdims=True) * scale)
+        m = lall[0]
+        for x in lall[1:]:
+            m = jnp.maximum(m, x)
+        es = [jnp.exp(x - m) for x in lall]
+        denom = es[0]
+        for x in es[1:]:
+            denom = denom + x
+        ps = [x / denom for x in es]
+        dp0 = jnp.sum(gout * v0, -1, keepdims=True)
+        dps = [jnp.sum(gout * v_slabs[g], -1, keepdims=True)
+               for g in range(F)]
+        dot = dp0 * ps[0]
+        for g in range(F):
+            dot = dot + dps[g] * ps[g + 1]
+        ds0 = (dp0 - dot) * ps[0]
+        dss = [(dps[g] - dot) * ps[g + 1] for g in range(F)]
+        dq = ds0 * k0
+        for g in range(F):
+            dq = dq + dss[g] * k_slabs[g]
+        dq_slabs.append(dq * scale)
+        for g in range(F):
+            upd_k = dss[g] * q
+            upd_v = ps[g + 1] * gout
+            dk_slabs[g] = upd_k if dk_slabs[g] is None else dk_slabs[g] + upd_k
+            dv_slabs[g] = upd_v if dv_slabs[g] is None else dv_slabs[g] + upd_v
+        u0k = jnp.sum(ds0 * q, axis=0, keepdims=True)
+        u0v = jnp.sum(ps[0] * gout, axis=0, keepdims=True)
+        dk0 = u0k if dk0 is None else dk0 + u0k
+        dv0 = u0v if dv0 is None else dv0 + u0v
+    dk_slabs = [x * scale for x in dk_slabs]
+    return dq_slabs, dk_slabs, dv_slabs, dk0 * scale, dv0
 
 
 def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
@@ -233,14 +301,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
 
 def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
                      axis, n_patches):
-    """Windowed-space backward: frame-block tiles (disjoint key windows) +
-    CLS column accumulation + a full-row CLS-query pass."""
+    """Windowed-space backward: frame-block tiles with DISJOINT key windows,
+    so each tile's dk/dv slab is stored directly (no [S, Dh] accumulator —
+    measured: concat-based accumulation at S=6273 blows the 16M scoped-vmem
+    stack). Only the CLS key/value column needs cross-tile accumulation (a
+    [8, Dh] buffer); the CLS-query full-row pass runs first and its dense
+    dk/dv contribution is added slab-wise."""
     s, dh = q_ref.shape[3], q_ref.shape[4]
     n = n_patches
     kc, vc = k[0:8], v[0:8]
     clsb = _cls_col_bias(n)
-    # CLS-row pass first: it contributes dk/dv over ALL rows, so it seeds
-    # the accumulators. Only row 0's cotangent participates.
+    # ---- CLS-row pass (only row 0's cotangent participates) ----
     q8 = q_ref[0, 0, 0, 0:8, :]
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
     g8 = g_ref[0, 0, 0:8, :] * (rows8 == 0).astype(g_ref.dtype)
@@ -251,7 +322,7 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
     m8 = jnp.max(logits8, -1, keepdims=True)
     p8 = jnp.exp(logits8 - m8)
     p8 = p8 / jnp.sum(p8, -1, keepdims=True)
-    dv = jax.lax.dot_general(
+    dvd = jax.lax.dot_general(  # [S, Dh] f32: CLS query touches all values
         p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp8 = jax.lax.dot_general(
@@ -261,9 +332,11 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
     dq8 = scale * jax.lax.dot_general(
         ds8_c, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dk = scale * jax.lax.dot_general(
+    dkd = scale * jax.lax.dot_general(
         ds8_c, q8, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    dk8 = jnp.zeros((8, dh), jnp.float32)  # CLS-column accumulators
+    dv8 = jnp.zeros((8, dh), jnp.float32)
     for lo in range(1, s, n):
         kwin, vwin = k[lo:lo + n], v[lo:lo + n]
         qraw = q_ref[0, 0, 0, lo:lo + n, :]
@@ -282,9 +355,9 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
         p = p / denom
         pc = pc / denom
         p_c = p.astype(g.dtype)
-        dv = _acc_add(dv, lo, jax.lax.dot_general(
+        dv_win = jax.lax.dot_general(
             p_c, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             g, vwin, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -302,23 +375,34 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
         dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
                                   preferred_element_type=jnp.float32)
         dqkv_ref[0, 0, 0, lo:lo + n, :] = dq.astype(dqkv_ref.dtype)
-        dk = _acc_add(dk, lo, scale * jax.lax.dot_general(
+        dk_win = scale * jax.lax.dot_general(
             ds_c, qraw, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dk = _acc_add(dk, 0, scale * jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+        dqkv_ref[1, 0, 0, lo:lo + n, :] = (
+            dk_win + dkd[lo:lo + n]).astype(dqkv_ref.dtype)
+        dqkv_ref[2, 0, 0, lo:lo + n, :] = (
+            dv_win + dvd[lo:lo + n]).astype(dqkv_ref.dtype)
+        dk8 = dk8 + scale * jax.lax.dot_general(
             dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-        dv = _acc_add(dv, 0, jax.lax.dot_general(
+            preferred_element_type=jnp.float32)
+        dv8 = dv8 + jax.lax.dot_general(
             pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    # rows 1..7 of dq were written by tile 0 (offset 1); row 0 only by the
-    # CLS pass (dq8 rows 1..7 are zero because g8 was masked). Merge.
+            preferred_element_type=jnp.float32)
+    # rows 1..7 of dq/dk/dv were written by tile 0 (offset 1); row 0 gets
+    # the CLS-row / CLS-column results. dq8 and dk8/dv8 rows 1..7 are zero
+    # (masked cotangent / masked CLS-block columns), so a where-merge on
+    # row 0 completes all three components.
     rows8d = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-    cur8 = dqkv_ref[0, 0, 0, 0:8, :]
-    merged = jnp.where(rows8d == 0, dq8.astype(dqkv_ref.dtype), cur8)
-    dqkv_ref[0, 0, 0, 0:8, :] = merged
-    dqkv_ref[1, 0, 0] = dk.astype(dqkv_ref.dtype)
-    dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
+    is_cls = rows8d == 0
+    cur_q8 = dqkv_ref[0, 0, 0, 0:8, :]
+    dqkv_ref[0, 0, 0, 0:8, :] = jnp.where(
+        is_cls, dq8.astype(dqkv_ref.dtype), cur_q8)
+    cur_k8 = dqkv_ref[1, 0, 0, 0:8, :]
+    dqkv_ref[1, 0, 0, 0:8, :] = jnp.where(
+        is_cls, (dk8 + dkd[0:8]).astype(dqkv_ref.dtype), cur_k8)
+    cur_v8 = dqkv_ref[2, 0, 0, 0:8, :]
+    dqkv_ref[2, 0, 0, 0:8, :] = jnp.where(
+        is_cls, (dv8 + dvd[0:8]).astype(dqkv_ref.dtype), cur_v8)
 
 
 # ---------------------------------------------------------------------------
@@ -353,8 +437,33 @@ def _packed_heads(h: int, dh: int, s: int, itemsize: int,
 
 
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
-                       hp, dh, block_q):
+                       num_frames, hp, dh, block_q):
     s = q_ref.shape[1]
+    if _time_fp(axis, num_frames):
+        n, F = n_patches, num_frames
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
+            v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+            qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, sl].astype(jnp.float32)
+                  for f in range(F)]
+            ks = [k_ref[0, 1 + g * n:1 + (g + 1) * n, sl].astype(jnp.float32)
+                  for g in range(F)]
+            vs = [v_ref[0, 1 + g * n:1 + (g + 1) * n, sl].astype(jnp.float32)
+                  for g in range(F)]
+            outs = _time_fp_attend(qs, ks, vs, k0, v0, scale)
+            for f in range(F):
+                o_ref[0, 1 + f * n:1 + (f + 1) * n, sl] = (
+                    outs[f].astype(o_ref.dtype))
+        # CLS row attends the full sequence; rows 1..7 recompute their
+        # (identical) grouped result so the 8-row store stays aligned.
+        bias8 = _mask_bias(0, 8, s, axis, n_patches)
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            out8 = _tile_attend(q_ref[0, 0:8, sl], k_ref[0, :, sl],
+                                v_ref[0, :, sl], bias8, scale)
+            o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
+        return
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
         # masks are shared by all heads in the program
@@ -372,8 +481,14 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
 
 
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
-                       scale, axis, n_patches, hp, dh, block_q):
+                       scale, axis, n_patches, num_frames, hp, dh, block_q):
     s = q_ref.shape[1]
+    if _time_fp(axis, num_frames):
+        _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                            dv_ref, scale=scale, axis=axis,
+                            n_patches=n_patches, num_frames=num_frames,
+                            hp=hp, dh=dh)
+        return
     # tile-outer / head-inner: the mask is built once per query tile and
     # shared by all heads; dk/dv accumulate per head across tiles
     dks = [jnp.zeros((s, dh), jnp.float32) for _ in range(hp)]
@@ -416,6 +531,69 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[0, :, sl] = dvs[j].astype(dv_ref.dtype)
 
 
+def _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                        *, scale, axis, n_patches, num_frames, hp, dh):
+    """Frame-pair time backward: per head, a full-row CLS-query pass seeds
+    dense dk/dv (the CLS query attends everything), then the frame-pair
+    main pass adds the per-column contributions slab by slab."""
+    s = q_ref.shape[1]
+    n, F = n_patches, num_frames
+    bias8 = _mask_bias(0, 8, s, axis, n)
+    for j in range(hp):
+        sl = slice(j * dh, (j + 1) * dh)
+        kfull = k_ref[0, :, sl]
+        vfull = v_ref[0, :, sl]
+        # ---- CLS-row dense pass (only row 0's cotangent participates) ----
+        q8 = q_ref[0, 0:8, sl]
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+        g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
+        logits8 = jax.lax.dot_general(
+            q8, kfull, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias8
+        m8 = jnp.max(logits8, -1, keepdims=True)
+        p8 = jnp.exp(logits8 - m8)
+        p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+        dvd = jax.lax.dot_general(  # [S, Dh] f32, all rows
+            p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp8 = jax.lax.dot_general(
+            g8, vfull, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+        ds8_c = ds8.astype(kfull.dtype)
+        dq8 = scale * jax.lax.dot_general(
+            ds8_c, kfull, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkd = scale * jax.lax.dot_general(
+            ds8_c, q8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # ---- frame-pair main pass ----
+        k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
+        v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+        qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, sl].astype(jnp.float32)
+              for f in range(F)]
+        ks = [k_ref[0, g_ * n + 1:1 + (g_ + 1) * n, sl].astype(jnp.float32)
+              for g_ in range(F)]
+        vs = [v_ref[0, g_ * n + 1:1 + (g_ + 1) * n, sl].astype(jnp.float32)
+              for g_ in range(F)]
+        gs = [g_ref[0, 1 + f * n:1 + (f + 1) * n, sl].astype(jnp.float32)
+              for f in range(F)]
+        dqs, dks, dvs, dk0, dv0 = _time_fp_backward(
+            qs, ks, vs, k0, v0, gs, scale)
+        for f in range(F):
+            rows = slice(1 + f * n, 1 + (f + 1) * n)
+            dq_ref[0, rows, sl] = dqs[f].astype(dq_ref.dtype)
+            dk_ref[0, rows, sl] = (
+                dks[f] + dkd[1 + f * n:1 + (f + 1) * n]).astype(dk_ref.dtype)
+            dv_ref[0, rows, sl] = (
+                dvs[f] + dvd[1 + f * n:1 + (f + 1) * n]).astype(dv_ref.dtype)
+        # row 0: CLS query grad (dq8 rows 1..7 are zero) + CLS key/value
+        # grads from both passes
+        dq_ref[0, 0:1, sl] = dq8[0:1].astype(dq_ref.dtype)
+        dk_ref[0, 0:1, sl] = (dk0 + dkd[0:1]).astype(dk_ref.dtype)
+        dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
+
+
 def _packed_specs(s: int, h: int, dh: int, hp: int):
     """q/k/v lane-block views into the [B, S, 3*H*Dh] projection output."""
     groups = h // hp
@@ -430,7 +608,7 @@ def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     b, s, _ = qkv_flat.shape
     kernel = functools.partial(
         _packed_fwd_kernel, scale=scale, axis=axis,
-        n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
+        n_patches=(s - 1) // num_frames, num_frames=num_frames, hp=hp, dh=dh,
         block_q=min(s, 1024),
     )
     return pl.pallas_call(
@@ -448,7 +626,7 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
     b, s, _ = qkv_flat.shape
     kernel = functools.partial(
         _packed_bwd_kernel, scale=scale, axis=axis,
-        n_patches=(s - 1) // num_frames, hp=hp, dh=dh,
+        n_patches=(s - 1) // num_frames, num_frames=num_frames, hp=hp, dh=dh,
         block_q=min(s, 512),
     )
     spec = pl.BlockSpec((1, s, hp * dh), lambda b_, g_: (b_, 0, g_),
@@ -518,6 +696,16 @@ def _cost(b, h, s, dh, bwd=False, axis="space"):
     )
 
 
+def _long_s_params(s: int):
+    """Raise the scoped-vmem (stack) budget for long sequences: the
+    frame-block backward's temporaries exceed Mosaic's default 16M stack
+    at S=6273 with the full (b, h) grid (measured 18.5M). v5e has 128M of
+    VMEM; the per-head blocks here total well under half of it."""
+    if s <= _PACKED_MAX_S:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
     _, b, h, s, dh = qkv3.shape
     # dense path: the [block_q, S] f32 softmax workspace must fit VMEM at
@@ -536,6 +724,7 @@ def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, s, dh), qkv3.dtype),
         cost_estimate=_cost(b, h, s, dh, axis=axis),
+        compiler_params=_long_s_params(s),
     )(qkv3, qkv3, qkv3)
 
 
@@ -562,6 +751,7 @@ def _bwd_pallas(qkv3: jax.Array, g: jax.Array, scale: float, axis: str,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(qkv3.shape, qkv3.dtype),
         cost_estimate=_cost(b, h, s, dh, bwd=True, axis=axis),
+        compiler_params=_long_s_params(s),
     )(qkv3, qkv3, qkv3, g)
 
 
