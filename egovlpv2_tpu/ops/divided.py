@@ -119,6 +119,17 @@ def _time_fp(axis: str, num_frames: int) -> bool:
     return axis == "time" and num_frames <= _TIME_FP_MAX_F
 
 
+# Frame-block space tiles inside the PACKED kernels too (same ~N/S FLOP cut
+# as the per-head windowed path, without its layout transposes). The
+# per-head frame-block kernel measured FASTER than packed dense on an equal
+# token count (1.26 vs 1.84 ms fwd+bwd), so this is on by default.
+_SPACE_FB_PACKED = _os.environ.get("EGOVLP_SPACE_FB_PACKED", "1") == "1"
+
+
+def _space_fb(axis: str, s: int) -> bool:
+    return axis == "space" and s >= 16 and _SPACE_FB_PACKED
+
+
 def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
     """Frame-pair time attention for one head. q_slabs[f] = frame f's
     patch rows [N, Dh] (f32); k0/v0 = the CLS key/value row [1, Dh].
@@ -126,6 +137,9 @@ def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
     logit(f->g) is a rowwise dot (same patch index n on both sides), an
     elementwise multiply + lane reduce — no [S, S] matrix ever exists.
     Softmax runs over F+1 per-column logit vectors without concatenation.
+    (An MXU variant reducing via a block-ones matmul over lane-concatenated
+    products measured SLOWER: 1.17/2.19 ms vs 0.92/1.75 at the pretrain
+    shape — the concats cost more than the lane reduces.)
     Returns the per-frame output slabs (f32)."""
     F = len(q_slabs)
     outs = []
@@ -224,6 +238,24 @@ def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
     return out / denom
 
 
+def _space_fb_fwd(load_q, k, v, store_o, s, n, scale, axis):
+    """Frame-block space forward over generic load/store accessors: one
+    frame of queries vs its own keys + an 8-wide CLS block (joint softmax);
+    the CLS row runs a full-sequence 8-row pass afterwards (rows 1..7
+    recompute their identical in-frame result so the store stays aligned).
+    All masks are tile-independent constants (see module docstring).
+    `k`/`v` are the full [S, Dh] slabs; load_q(lo, sz) / store_o(lo, val)
+    bind the layout (per-head 5-d refs or packed lane slices)."""
+    kc, vc = k[0:8], v[0:8]
+    clsb = _cls_col_bias(n)
+    for lo in range(1, s, n):
+        out = _tile_attend(load_q(lo, n), k[lo:lo + n], v[lo:lo + n], None,
+                           scale, kc, vc, clsb)
+        store_o(lo, out)
+    bias8 = _mask_bias(0, 8, s, axis, n)
+    store_o(0, _tile_attend(load_q(0, 8), k, v, bias8, scale))
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, num_frames,
                 n_patches, block_q):
     del num_frames
@@ -231,21 +263,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, num_frames,
     k = k_ref[0, 0, 0]  # [S, Dh]; dots take the input dtype (bf16 MXU rate)
     v = v_ref[0, 0, 0]
     if _windowed(axis, s):
-        # frame-block tiles: one frame of queries vs its own keys + CLS.
-        # All masks are tile-independent constants (see module docstring).
-        n = n_patches
-        kc, vc = k[0:8], v[0:8]
-        clsb = _cls_col_bias(n)
-        for lo in range(1, s, n):
-            q = q_ref[0, 0, 0, lo:lo + n, :]
-            out = _tile_attend(q, k[lo:lo + n], v[lo:lo + n], None, scale,
-                               kc, vc, clsb)
-            o_ref[0, 0, lo:lo + n, :] = out.astype(o_ref.dtype)
-        # CLS row attends the full sequence; rows 1..7 recompute their
-        # (identical) in-frame result so the 8-row store stays aligned.
-        bias8 = _mask_bias(0, 8, s, axis, n)
-        out8 = _tile_attend(q_ref[0, 0, 0, 0:8, :], k, v, bias8, scale)
-        o_ref[0, 0, 0:8, :] = out8.astype(o_ref.dtype)
+        def store_o(lo, val):
+            o_ref[0, 0, lo:lo + val.shape[0], :] = val.astype(o_ref.dtype)
+
+        _space_fb_fwd(lambda lo, sz: q_ref[0, 0, 0, lo:lo + sz, :], k, v,
+                      store_o, s, n_patches, scale, axis)
         return
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
@@ -262,8 +284,22 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
     k = k_ref[0, 0, 0]
     v = v_ref[0, 0, 0]
     if _windowed(axis, s):
-        _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v,
-                         scale=scale, axis=axis, n_patches=n_patches)
+        def mk_store(c):
+            def store(lo, val):
+                dqkv_ref[c, 0, 0, lo:lo + val.shape[0], :] = (
+                    val.astype(dqkv_ref.dtype))
+            return store
+
+        def mk_read8(c):
+            return lambda: dqkv_ref[c, 0, 0, 0:8, :].astype(jnp.float32)
+
+        _space_fb_bwd(
+            lambda lo, sz: q_ref[0, 0, 0, lo:lo + sz, :],
+            lambda lo, sz: g_ref[0, 0, lo:lo + sz, :],
+            k, v,
+            (mk_store(0), mk_store(1), mk_store(2)),
+            (mk_read8(0), mk_read8(1), mk_read8(2)),
+            s, dh, n_patches, scale, axis)
         return
     dk = jnp.zeros((s, dh), jnp.float32)
     dv = jnp.zeros((s, dh), jnp.float32)
@@ -299,22 +335,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
     dqkv_ref[2, 0, 0] = dv.astype(dqkv_ref.dtype)
 
 
-def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
-                     axis, n_patches):
-    """Windowed-space backward: frame-block tiles with DISJOINT key windows,
-    so each tile's dk/dv slab is stored directly (no [S, Dh] accumulator —
-    measured: concat-based accumulation at S=6273 blows the 16M scoped-vmem
-    stack). Only the CLS key/value column needs cross-tile accumulation (a
-    [8, Dh] buffer); the CLS-query full-row pass runs first and its dense
-    dk/dv contribution is added slab-wise."""
-    s, dh = q_ref.shape[3], q_ref.shape[4]
-    n = n_patches
+def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
+                  axis):
+    """Frame-block space backward over generic accessors: tiles have
+    DISJOINT key windows, so each tile's dk/dv slab is stored directly (no
+    [S, Dh] accumulator — measured: concat-based accumulation at S=6273
+    blows the 16M scoped-vmem stack). Only the CLS key/value column needs
+    cross-tile accumulation (an [8, Dh] buffer); the CLS-query full-row
+    pass runs first and its dense dk/dv contribution is added slab-wise.
+    stores = (store_dq, store_dk, store_dv) with store(lo, val);
+    reads = (read8_dq, read8_dk, read8_dv) returning rows 0..7 as f32."""
+    store_dq, store_dk, store_dv = stores
     kc, vc = k[0:8], v[0:8]
     clsb = _cls_col_bias(n)
     # ---- CLS-row pass (only row 0's cotangent participates) ----
-    q8 = q_ref[0, 0, 0, 0:8, :]
+    q8 = load_q(0, 8)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-    g8 = g_ref[0, 0, 0:8, :] * (rows8 == 0).astype(g_ref.dtype)
+    g8raw = load_g(0, 8)
+    g8 = g8raw * (rows8 == 0).astype(g8raw.dtype)
     bias8 = _mask_bias(0, 8, s, axis, n)
     logits8 = jax.lax.dot_general(
         q8, k, (((1,), (1,)), ((), ())),
@@ -339,8 +377,8 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
     dv8 = jnp.zeros((8, dh), jnp.float32)
     for lo in range(1, s, n):
         kwin, vwin = k[lo:lo + n], v[lo:lo + n]
-        qraw = q_ref[0, 0, 0, lo:lo + n, :]
-        g = g_ref[0, 0, lo:lo + n, :]
+        qraw = load_q(lo, n)
+        g = load_g(lo, n)
         logits = jax.lax.dot_general(
             qraw, kwin, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -374,14 +412,12 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
             preferred_element_type=jnp.float32)
         dq = dq + scale * jnp.dot(dsc, kc.astype(jnp.float32),
                                   preferred_element_type=jnp.float32)
-        dqkv_ref[0, 0, 0, lo:lo + n, :] = dq.astype(dqkv_ref.dtype)
+        store_dq(lo, dq)
         dk_win = scale * jax.lax.dot_general(
             ds_c, qraw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dqkv_ref[1, 0, 0, lo:lo + n, :] = (
-            dk_win + dkd[lo:lo + n]).astype(dqkv_ref.dtype)
-        dqkv_ref[2, 0, 0, lo:lo + n, :] = (
-            dv_win + dvd[lo:lo + n]).astype(dqkv_ref.dtype)
+        store_dk(lo, dk_win + dkd[lo:lo + n])
+        store_dv(lo, dv_win + dvd[lo:lo + n])
         dk8 = dk8 + scale * jax.lax.dot_general(
             dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -393,16 +429,10 @@ def _bwd_frame_tiles(q_ref, k_ref, v_ref, g_ref, dqkv_ref, k, v, *, scale,
     # (masked cotangent / masked CLS-block columns), so a where-merge on
     # row 0 completes all three components.
     rows8d = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-    is_cls = rows8d == 0
-    cur_q8 = dqkv_ref[0, 0, 0, 0:8, :]
-    dqkv_ref[0, 0, 0, 0:8, :] = jnp.where(
-        is_cls, dq8.astype(dqkv_ref.dtype), cur_q8)
-    cur_k8 = dqkv_ref[1, 0, 0, 0:8, :]
-    dqkv_ref[1, 0, 0, 0:8, :] = jnp.where(
-        is_cls, (dk8 + dkd[0:8]).astype(dqkv_ref.dtype), cur_k8)
-    cur_v8 = dqkv_ref[2, 0, 0, 0:8, :]
-    dqkv_ref[2, 0, 0, 0:8, :] = jnp.where(
-        is_cls, (dv8 + dvd[0:8]).astype(dqkv_ref.dtype), cur_v8)
+    is_cls = rows8d == 0  # where-select: row 0 may hold NaN garbage before
+    store_dq(0, jnp.where(is_cls, dq8, reads[0]()))
+    store_dk(0, jnp.where(is_cls, dk8 + dkd[0:8], reads[1]()))
+    store_dv(0, jnp.where(is_cls, dv8 + dvd[0:8], reads[2]()))
 
 
 # ---------------------------------------------------------------------------
@@ -439,6 +469,18 @@ def _packed_heads(h: int, dh: int, s: int, itemsize: int,
 def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                        num_frames, hp, dh, block_q):
     s = q_ref.shape[1]
+    if _space_fb(axis, s):
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+
+            def store_o(lo, val, sl=sl):
+                o_ref[0, lo:lo + val.shape[0], sl] = val.astype(o_ref.dtype)
+
+            _space_fb_fwd(
+                lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
+                k_ref[0, :, sl], v_ref[0, :, sl],
+                store_o, s, n_patches, scale, axis)
+        return
     if _time_fp(axis, num_frames):
         n, F = n_patches, num_frames
         for j in range(hp):
@@ -483,6 +525,26 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                        scale, axis, n_patches, num_frames, hp, dh, block_q):
     s = q_ref.shape[1]
+    if _space_fb(axis, s):
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+
+            def mk_store(ref, sl=sl):
+                def store(lo, val):
+                    ref[0, lo:lo + val.shape[0], sl] = val.astype(ref.dtype)
+                return store
+
+            def mk_read8(ref, sl=sl):
+                return lambda: ref[0, 0:8, sl].astype(jnp.float32)
+
+            _space_fb_bwd(
+                lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
+                lambda lo, sz, sl=sl: g_ref[0, lo:lo + sz, sl],
+                k_ref[0, :, sl], v_ref[0, :, sl],
+                (mk_store(dq_ref), mk_store(dk_ref), mk_store(dv_ref)),
+                (mk_read8(dq_ref), mk_read8(dk_ref), mk_read8(dv_ref)),
+                s, dh, n_patches, scale, axis)
+        return
     if _time_fp(axis, num_frames):
         _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
                             dv_ref, scale=scale, axis=axis,
@@ -604,6 +666,16 @@ def _packed_specs(s: int, h: int, dh: int, hp: int):
     ]
 
 
+def _long_s_params(s: int):
+    """Raise the scoped-vmem (stack) budget for long sequences: the
+    frame-block backward's temporaries exceed Mosaic's default 16M stack
+    at S=6273 with the full (b, h) grid (measured 18.5M). v5e has 128M of
+    VMEM; the per-head blocks here total well under half of it."""
+    if s <= _PACKED_MAX_S:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     b, s, _ = qkv_flat.shape
     kernel = functools.partial(
@@ -694,16 +766,6 @@ def _cost(b, h, s, dh, bwd=False, axis="space"):
         bytes_accessed=(5 if bwd else 4) * b * h * s * dh * 4,
         transcendentals=b * h * s * (256 if _windowed(axis, s) else s),
     )
-
-
-def _long_s_params(s: int):
-    """Raise the scoped-vmem (stack) budget for long sequences: the
-    frame-block backward's temporaries exceed Mosaic's default 16M stack
-    at S=6273 with the full (b, h) grid (measured 18.5M). v5e has 128M of
-    VMEM; the per-head blocks here total well under half of it."""
-    if s <= _PACKED_MAX_S:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _fwd_pallas(qkv3: jax.Array, scale: float, axis: str, num_frames: int):
