@@ -351,7 +351,11 @@ def cmd_extract(args):
     cfg = load_train_config(args.config, args.set)
     model = EgoVLPv2(cfg.model)
     params = _load_params(model, cfg, args.ckpt)
-    ex = FeatureExtractor(model, params, inner_batch=args.inner_batch)
+    # normalize on device: ship compact uint8 windows (4x fewer
+    # host->device bytes) and fold (x/255 - mean)/std into the jitted
+    # encoder program
+    ex = FeatureExtractor(model, params, inner_batch=args.inner_batch,
+                          device_norm="imagenet")
 
     paths = sorted(glob.glob(args.videos))
     if not paths:
@@ -361,7 +365,12 @@ def cmd_extract(args):
         uid = os.path.splitext(os.path.basename(path))[0]
         total = readers.get_video_len(path)
         frames, _ = readers.read_frames_cv2(path, max(total, 1), sample="uniform")
-        frames = transforms.eval_transform(np.asarray(frames), size=args.input_res)
+        # back to uint8 for the geometric pipeline + transfer (the decoded
+        # source was uint8; resize-then-quantize matches the reference's
+        # PIL-resize-then-ToTensor semantics)
+        frames = np.round(np.asarray(frames) * 255.0).astype(np.uint8)
+        frames = transforms.eval_transform(frames, size=args.input_res,
+                                           normalize=False)
         feats = ex.clip_features(frames, cfg.model.video.num_frames)
         save_features(os.path.join(args.out, uid), feats)
         print(f"{uid}: {feats.shape}")

@@ -157,6 +157,9 @@ class TrainConfig:
     # paths). Turn off when activations fit: backward then reuses the stored
     # forward instead of recomputing each tower (~25% less compute/step).
     path_remat: bool = True
+    # per-step grad-norm metric: a full-gradient reduction sweep (~15 ms
+    # = 4.5% of the flagship step, profiled) — opt in when diagnosing.
+    log_grad_norm: bool = False
     global_batch_size: int = 256
     max_text_len: int = 15  # tokenizer max_length at pretrain (trainer_egoclip.py:120)
     mlm_prob: float = 0.15

@@ -145,8 +145,15 @@ def eval_transform(
     intermediate: int = 256,
     mean: np.ndarray = IMAGENET_MEAN,
     std: np.ndarray = IMAGENET_STD,
+    normalize: bool = True,
 ) -> np.ndarray:
+    """`normalize=False` returns the geometric pipeline only (caller ships
+    compact un-normalized frames and normalizes on device — quarters the
+    host->device bytes when the input is uint8; see FeatureExtractor's
+    `device_norm`)."""
     clip = resize_short_side(clip01, intermediate)
     clip = center_crop(clip, intermediate)
     clip = _resize_clip(clip, (size, size))
+    if not normalize:
+        return clip
     return _normalize_out(clip, mean, std)

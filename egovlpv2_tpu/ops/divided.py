@@ -119,6 +119,15 @@ def _time_fp(axis: str, num_frames: int) -> bool:
     return axis == "time" and num_frames <= _TIME_FP_MAX_F
 
 
+# All-heads MXU segmented-reduce formulation of the frame-pair kernels
+# (see _time_fp_attend_mxu). Microbenches 1.7x FASTER than the per-head
+# lane-reduce loop ([16,785,12,64]: fwd 0.92 -> 0.51 ms, fwd+bwd 1.75 ->
+# 1.03 ms) yet REGRESSES the end-to-end pretrain step by ~50 ms
+# (380.6 vs 329.4 ms @ batch 16) — same in-context pathology as the
+# round-3 config-B experiment. Off by default; trust the step bench.
+_TIME_FP_MXU = _os.environ.get("EGOVLP_TIME_FP_MXU", "0") == "1"
+
+
 # Frame-block space tiles inside the PACKED kernels too (same ~N/S FLOP cut
 # as the per-head windowed path, without its layout transposes). The
 # per-head frame-block kernel measured FASTER than packed dense on an equal
@@ -206,6 +215,100 @@ def _time_fp_backward(q_slabs, k_slabs, v_slabs, k0, v0, g_slabs, scale):
         dv0 = u0v if dv0 is None else dv0 + u0v
     dk_slabs = [x * scale for x in dk_slabs]
     return dq_slabs, dk_slabs, dv_slabs, dk0 * scale, dv0
+
+
+def _seg_ones(hp: int, dh: int):
+    """Block-diagonal ones [hp*dh, hp] (f32): column j sums head j's dh
+    lanes. Its transpose broadcasts a per-head scalar back across the
+    head's lane block. Both are small compile-time constants (36 KB at
+    hp=12, dh=64)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (hp * dh, hp), 0) // dh
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hp * dh, hp), 1)
+    return (lanes == cols).astype(jnp.float32)
+
+
+def _dot_f32(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _time_fp_attend_mxu(qs, ks, vs, k0, v0, scale, hp, dh):
+    """All-heads frame-pair time attention on full-width [N, hp*dh] f32
+    slabs. The rowwise per-head dot is an elementwise product at full lane
+    width followed by a segmented lane reduce expressed as one small MXU
+    dot with a block-diagonal ones matrix ([N, W] @ [W, hp] -> per-head
+    logits [N, hp]); softmax weights are broadcast back with the transposed
+    ones ([N, hp] @ [hp, W]). No per-head python loop, no lane concats
+    (the round-2 MXU variant's measured cost was the concat, not the
+    reduction matmul)."""
+    F = len(qs)
+    seg = _seg_ones(hp, dh)
+    exp_ = seg.T
+    outs = []
+    for f in range(F):
+        q = qs[f]
+        lall = [_dot_f32(q * k0, seg) * scale]
+        for g in range(F):
+            lall.append(_dot_f32(q * ks[g], seg) * scale)
+        m = lall[0]
+        for x in lall[1:]:
+            m = jnp.maximum(m, x)
+        ps = [jnp.exp(x - m) for x in lall]
+        denom = ps[0]
+        for x in ps[1:]:
+            denom = denom + x
+        ws = [x / denom for x in ps]
+        out = _dot_f32(ws[0], exp_) * v0
+        for g in range(F):
+            out = out + _dot_f32(ws[g + 1], exp_) * vs[g]
+        outs.append(out)
+    return outs
+
+
+def _time_fp_backward_mxu(qs, ks, vs, k0, v0, gs, scale, hp, dh):
+    """Backward of `_time_fp_attend_mxu` on full-width slabs. Returns
+    (dq_slabs, dk_slabs, dv_slabs, dk0, dv0); CLS grads reduce over rows."""
+    F = len(qs)
+    seg = _seg_ones(hp, dh)
+    exp_ = seg.T
+    dks = [None] * F
+    dvs = [None] * F
+    dqs = []
+    dk0 = dv0 = None
+    for f in range(F):
+        q, gout = qs[f], gs[f]
+        lall = [_dot_f32(q * k0, seg) * scale]
+        for g in range(F):
+            lall.append(_dot_f32(q * ks[g], seg) * scale)
+        m = lall[0]
+        for x in lall[1:]:
+            m = jnp.maximum(m, x)
+        es = [jnp.exp(x - m) for x in lall]
+        denom = es[0]
+        for x in es[1:]:
+            denom = denom + x
+        ps = [x / denom for x in es]
+        dp0 = _dot_f32(gout * v0, seg)
+        dps = [_dot_f32(gout * vs[g], seg) for g in range(F)]
+        dot = dp0 * ps[0]
+        for g in range(F):
+            dot = dot + dps[g] * ps[g + 1]
+        ds0e = _dot_f32((dp0 - dot) * ps[0], exp_)
+        dq = ds0e * k0
+        u0k = jnp.sum(ds0e * q, axis=0, keepdims=True)
+        u0v = jnp.sum(_dot_f32(ps[0], exp_) * gout, axis=0, keepdims=True)
+        dk0 = u0k if dk0 is None else dk0 + u0k
+        dv0 = u0v if dv0 is None else dv0 + u0v
+        for g in range(F):
+            dse = _dot_f32((dps[g] - dot) * ps[g + 1], exp_)
+            dq = dq + dse * ks[g]
+            upd_k = dse * q
+            upd_v = _dot_f32(ps[g + 1], exp_) * gout
+            dks[g] = upd_k if dks[g] is None else dks[g] + upd_k
+            dvs[g] = upd_v if dvs[g] is None else dvs[g] + upd_v
+        dqs.append(dq * scale)
+    dks = [x * scale for x in dks]
+    return dqs, dks, dvs, dk0 * scale, dv0
 
 
 def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
@@ -483,20 +586,50 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
         return
     if _time_fp(axis, num_frames):
         n, F = n_patches, num_frames
-        for j in range(hp):
-            sl = slice(j * dh, (j + 1) * dh)
-            k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
-            v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
-            qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, sl].astype(jnp.float32)
+        if _TIME_FP_MXU:
+            k0 = k_ref[0, 0:1, :].astype(jnp.float32)
+            v0 = v_ref[0, 0:1, :].astype(jnp.float32)
+            qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, :].astype(jnp.float32)
                   for f in range(F)]
-            ks = [k_ref[0, 1 + g * n:1 + (g + 1) * n, sl].astype(jnp.float32)
+            ks = [k_ref[0, 1 + g * n:1 + (g + 1) * n, :].astype(jnp.float32)
                   for g in range(F)]
-            vs = [v_ref[0, 1 + g * n:1 + (g + 1) * n, sl].astype(jnp.float32)
+            vs = [v_ref[0, 1 + g * n:1 + (g + 1) * n, :].astype(jnp.float32)
                   for g in range(F)]
-            outs = _time_fp_attend(qs, ks, vs, k0, v0, scale)
+            outs = _time_fp_attend_mxu(qs, ks, vs, k0, v0, scale, hp, dh)
             for f in range(F):
-                o_ref[0, 1 + f * n:1 + (f + 1) * n, sl] = (
+                o_ref[0, 1 + f * n:1 + (f + 1) * n, :] = (
                     outs[f].astype(o_ref.dtype))
+            # CLS row attends the full sequence — same segmented-reduce
+            # trick: per-head logits of q0 against every key in one
+            # ones-dot, softmax over rows, column-reduce of the broadcast
+            # weights against V. Rows 1..7 were already stored by frame 0's
+            # main-pass slab.
+            seg = _seg_ones(hp, dh)
+            kfull = k_ref[0, :, :].astype(jnp.float32)
+            vfull = v_ref[0, :, :].astype(jnp.float32)
+            q0 = q_ref[0, 0:1, :].astype(jnp.float32)
+            l0 = _dot_f32(kfull * q0, seg) * scale
+            m0 = jnp.max(l0, axis=0, keepdims=True)
+            e0 = jnp.exp(l0 - m0)
+            p0 = e0 / jnp.sum(e0, axis=0, keepdims=True)
+            out0 = jnp.sum(_dot_f32(p0, seg.T) * vfull, axis=0, keepdims=True)
+            o_ref[0, 0:1, :] = out0.astype(o_ref.dtype)
+            return
+        else:
+            for j in range(hp):
+                sl = slice(j * dh, (j + 1) * dh)
+                k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
+                v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+                qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, sl].astype(
+                    jnp.float32) for f in range(F)]
+                ks = [k_ref[0, 1 + g * n:1 + (g + 1) * n, sl].astype(
+                    jnp.float32) for g in range(F)]
+                vs = [v_ref[0, 1 + g * n:1 + (g + 1) * n, sl].astype(
+                    jnp.float32) for g in range(F)]
+                outs = _time_fp_attend(qs, ks, vs, k0, v0, scale)
+                for f in range(F):
+                    o_ref[0, 1 + f * n:1 + (f + 1) * n, sl] = (
+                        outs[f].astype(o_ref.dtype))
         # CLS row attends the full sequence; rows 1..7 recompute their
         # (identical) grouped result so the 8-row store stays aligned.
         bias8 = _mask_bias(0, 8, s, axis, n_patches)
@@ -593,11 +726,67 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
         dv_ref[0, :, sl] = dvs[j].astype(dv_ref.dtype)
 
 
+def _packed_bwd_time_fp_mxu(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                            dv_ref, *, scale, n_patches, num_frames, hp, dh):
+    """All-heads frame-pair time backward. The CLS-query dense pass is
+    also expressed full-width: only row 0's cotangent participates, so its
+    per-head logits are a segmented reduce of `kfull * q0` (one ones-dot)
+    and its dk/dv seeds are broadcast-back products — no per-head loop
+    anywhere."""
+    n, F = n_patches, num_frames
+    seg = _seg_ones(hp, dh)
+    exp_ = seg.T
+    kfull = k_ref[0, :, :].astype(jnp.float32)
+    vfull = v_ref[0, :, :].astype(jnp.float32)
+    q0 = q_ref[0, 0:1, :].astype(jnp.float32)
+    g0 = g_ref[0, 0:1, :].astype(jnp.float32)
+    # ---- CLS-row dense pass (full-width) ----
+    l0 = _dot_f32(kfull * q0, seg) * scale           # [S, hp]
+    m0 = jnp.max(l0, axis=0, keepdims=True)
+    e0 = jnp.exp(l0 - m0)
+    p0 = e0 / jnp.sum(e0, axis=0, keepdims=True)     # [S, hp]
+    dvd = _dot_f32(p0, exp_) * g0                    # [S, W]
+    dp0r = _dot_f32(vfull * g0, seg)                 # [S, hp]
+    dot0 = jnp.sum(dp0r * p0, axis=0, keepdims=True)
+    ds0r = (dp0r - dot0) * p0                        # [S, hp]
+    ds0e = _dot_f32(ds0r, exp_)                      # [S, W]
+    dq0 = scale * jnp.sum(ds0e * kfull, axis=0, keepdims=True)
+    dkd = scale * (ds0e * q0)                        # [S, W]
+    # ---- frame-pair main pass (full-width) ----
+    k0 = kfull[0:1]
+    v0 = vfull[0:1]
+    qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, :].astype(jnp.float32)
+          for f in range(F)]
+    ks = [kfull[1 + g_ * n:1 + (g_ + 1) * n] for g_ in range(F)]
+    vs = [vfull[1 + g_ * n:1 + (g_ + 1) * n] for g_ in range(F)]
+    gs = [g_ref[0, 1 + f * n:1 + (f + 1) * n, :].astype(jnp.float32)
+          for f in range(F)]
+    dqs, dks, dvs, dk0, dv0 = _time_fp_backward_mxu(
+        qs, ks, vs, k0, v0, gs, scale, hp, dh)
+    for f in range(F):
+        rows = slice(1 + f * n, 1 + (f + 1) * n)
+        dq_ref[0, rows, :] = dqs[f].astype(dq_ref.dtype)
+        dk_ref[0, rows, :] = (
+            dks[f] + dkd[1 + f * n:1 + (f + 1) * n]).astype(dk_ref.dtype)
+        dv_ref[0, rows, :] = (
+            dvs[f] + dvd[1 + f * n:1 + (f + 1) * n]).astype(dv_ref.dtype)
+    # rows 1..7 of the 8-row head block belong to frame 0's patch columns
+    # handled above; row 0 combines both passes
+    dq_ref[0, 0:1, :] = dq0.astype(dq_ref.dtype)
+    dk_ref[0, 0:1, :] = (dk0 + dkd[0:1]).astype(dk_ref.dtype)
+    dv_ref[0, 0:1, :] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
+
+
 def _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                         *, scale, axis, n_patches, num_frames, hp, dh):
     """Frame-pair time backward: per head, a full-row CLS-query pass seeds
     dense dk/dv (the CLS query attends everything), then the frame-pair
     main pass adds the per-column contributions slab by slab."""
+    if _TIME_FP_MXU:
+        _packed_bwd_time_fp_mxu(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                                dv_ref, scale=scale, n_patches=n_patches,
+                                num_frames=num_frames, hp=hp, dh=dh)
+        return
     s = q_ref.shape[1]
     n, F = n_patches, num_frames
     bias8 = _mask_bias(0, 8, s, axis, n)

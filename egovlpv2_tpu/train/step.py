@@ -194,7 +194,8 @@ def make_train_step(
         (_, metrics), grads = grad_fn(state.params, batch, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.log_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1, next_rng), metrics
 
     if mesh is None:

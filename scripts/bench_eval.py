@@ -162,9 +162,13 @@ def bench_extract(video_frames=600, num_frames=4, inner_batch=64):
 
     cfg = _model_cfg(num_frames)
     model, params = _init(cfg)
-    ex = FeatureExtractor(model, params, inner_batch=inner_batch)
+    # production pipeline: ship compact uint8 windows, normalize on device
+    # (cli.py cmd_extract). f32 host-normalized frames measured 0.089
+    # videos/s on the same link — host->device bytes dominate extraction.
+    ex = FeatureExtractor(model, params, inner_batch=inner_batch,
+                          device_norm="imagenet")
     rs = np.random.RandomState(0)
-    frames = rs.randn(video_frames, 224, 224, 3).astype(np.float32)
+    frames = rs.randint(0, 256, (video_frames, 224, 224, 3)).astype(np.uint8)
 
     def step():
         feats = ex.clip_features(frames, num_frames)

@@ -105,6 +105,33 @@ def test_extract_from_mp4(tiny_config, tmp_path):
     assert feats.shape == (10, 64)
 
 
+def test_extract_device_norm_parity(tiny_config):
+    """uint8 windows + on-device (x/255 - mean)/std must match the host
+    f32 normalize path (cmd_extract ships uint8 to quarter the
+    host->device bytes)."""
+    from egovlpv2_tpu.data import transforms
+    from egovlpv2_tpu.models.egovlp import EgoVLPv2
+    from egovlpv2_tpu.tasks.extract import FeatureExtractor
+
+    cfg = cli.load_train_config(tiny_config, [])
+    model = EgoVLPv2(cfg.model)
+    params = cli._load_params(model, cfg, None)
+    rs = np.random.RandomState(3)
+    size = cfg.model.video.img_size
+    frames_u8 = rs.randint(0, 256, (8, size, size, 3), np.uint8)
+    frames_f32 = transforms._normalize_out(
+        frames_u8.astype(np.float32) / 255.0,
+        transforms.IMAGENET_MEAN, transforms.IMAGENET_STD)
+
+    nf = cfg.model.video.num_frames
+    host = FeatureExtractor(model, params, inner_batch=4)
+    dev = FeatureExtractor(model, params, inner_batch=4,
+                           device_norm="imagenet")
+    f_host = host.clip_features(frames_f32, nf)
+    f_dev = dev.clip_features(frames_u8, nf)
+    np.testing.assert_allclose(f_dev, f_host, rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("name", ["ft-epic", "ft-charades"])
 def test_dual_finetune_synthetic(tiny_config, name):
     cli.main([
