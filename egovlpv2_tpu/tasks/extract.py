@@ -104,7 +104,11 @@ class FeatureExtractor:
         n_pad = -(-n // ib) * ib - n
         if n_pad:
             windows = np.concatenate([windows, np.repeat(windows[-1:], n_pad, 0)])
+        # depth-1 pipeline: dispatch chunk i's transfer+compute, then fetch
+        # chunk i-1's result — overlaps host->device transfer (the dominant
+        # extraction cost on bandwidth-limited links) with device compute.
         outs = []
+        prev = None
         for i in range(0, windows.shape[0], ib):
             chunk = jnp.asarray(windows[i : i + ib])
             args = [
@@ -112,7 +116,11 @@ class FeatureExtractor:
                 jnp.asarray(e)
                 for e in extra
             ]
-            outs.append(np.asarray(fn(self.params, chunk, *args)))
+            res = fn(self.params, chunk, *args)
+            if prev is not None:
+                outs.append(np.asarray(prev))
+            prev = res
+        outs.append(np.asarray(prev))
         return np.concatenate(outs)[:n]
 
     def clip_features(self, frames: np.ndarray, num_frames: int) -> np.ndarray:
@@ -138,17 +146,18 @@ class FeatureExtractor:
             ids = np.concatenate([ids, np.repeat(ids[-1:], n_pad, 0)])
             mask = np.concatenate([mask, np.repeat(mask[-1:], n_pad, 0)])
         outs = []
+        prev = None
         for i in range(0, windows.shape[0], self.inner_batch):
-            outs.append(
-                np.asarray(
-                    self._fused_features(
-                        self.params,
-                        jnp.asarray(windows[i : i + self.inner_batch]),
-                        jnp.asarray(ids[i : i + self.inner_batch]),
-                        jnp.asarray(mask[i : i + self.inner_batch]),
-                    )
-                )
+            res = self._fused_features(
+                self.params,
+                jnp.asarray(windows[i : i + self.inner_batch]),
+                jnp.asarray(ids[i : i + self.inner_batch]),
+                jnp.asarray(mask[i : i + self.inner_batch]),
             )
+            if prev is not None:
+                outs.append(np.asarray(prev))
+            prev = res
+        outs.append(np.asarray(prev))
         return np.concatenate(outs)[:nw]
 
     def text_tokens(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
