@@ -139,6 +139,14 @@ def _space_fb(axis: str, s: int) -> bool:
     return axis == "space" and s >= 16 and _SPACE_FB_PACKED
 
 
+# Long-sequence packed route (S > _PACKED_MAX_S, i.e. 16/32-frame shapes):
+# keep the lane-packed layout (no [B,S,3,H,Dh] transposes) with fewer heads
+# per program and the 64M vmem limit. The budget admits hp=4 at S=3137 and
+# hp=2 at S=6273 (lane blocks must stay 128-aligned).
+_PACKED_LONG = _os.environ.get("EGOVLP_PACKED_LONG", "1") == "1"
+_LONG_BUDGET = 5_000_000
+
+
 def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
     """Frame-pair time attention for one head. q_slabs[f] = frame f's
     patch rows [N, Dh] (f32); k0/v0 = the CLS key/value row [1, Dh].
@@ -870,7 +878,8 @@ def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     kernel = functools.partial(
         _packed_fwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, num_frames=num_frames, hp=hp, dh=dh,
-        block_q=min(s, 1024),
+        block_q=min(s, 1024 if s <= _PACKED_MAX_S else
+                    (256 if s <= 4096 else 128)),
     )
     return pl.pallas_call(
         kernel,
@@ -880,6 +889,7 @@ def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, h * dh), qkv_flat.dtype),
         cost_estimate=_cost(b, h, s, dh, axis=axis),
+        compiler_params=_long_s_params(s),
     )(qkv_flat, qkv_flat, qkv_flat)
 
 
@@ -888,7 +898,7 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
     kernel = functools.partial(
         _packed_bwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, num_frames=num_frames, hp=hp, dh=dh,
-        block_q=min(s, 512),
+        block_q=min(s, 512 if s <= _PACKED_MAX_S else 128),
     )
     spec = pl.BlockSpec((1, s, hp * dh), lambda b_, g_: (b_, 0, g_),
                         memory_space=pltpu.VMEM)
@@ -900,6 +910,7 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
         out_specs=(spec, spec, spec),
         out_shape=(shp, shp, shp),
         cost_estimate=_cost(b, h, s, dh, bwd=True, axis=axis),
+        compiler_params=_long_s_params(s),
     )(qkv_flat, qkv_flat, qkv_flat, g)
     # XLA fuses this concat into the qkv-Dense backward dots
     return jnp.concatenate([dq, dk, dv], axis=-1)
@@ -921,6 +932,17 @@ def _packed_fwd(qkv_flat, scale, axis, num_frames, h, dh, hp, hp_bwd):
 
 
 def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
+    b, s, _ = qkv_flat.shape
+    if s > _PACKED_MAX_S and axis == "time" and not _time_fp(axis, num_frames):
+        # long-sequence TIME backward: the in-kernel dense recompute
+        # measured SLOWER than XLA's grouped vjp (5.14 vs ~3.8 ms fwd+bwd
+        # at [4,3137,12,64]) — the [block_q, S] f32 intermediates defeat
+        # the win. Differentiate the einsum path instead (same math).
+        qkv5 = qkv_flat.reshape(b, s, 3, h, dh)
+        _, vjp = jax.vjp(
+            lambda x: _divided_xla(x, scale, axis, num_frames), qkv5)
+        (dqkv,) = vjp(g.reshape(b, s, h, dh))
+        return (dqkv.reshape(b, s, 3 * h * dh),)
     return (_packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh,
                                hp_bwd),)
 
@@ -1093,10 +1115,21 @@ def divided_attention(
     if impl != "pallas":
         return _divided_xla(qkv, scale, axis, num_frames)
     b, s, _, h, dh = qkv.shape
-    hp = _packed_heads(h, dh, s, qkv.dtype.itemsize)
-    hp_bwd = _packed_heads(h, dh, s, qkv.dtype.itemsize, budget=_BWD_BUDGET)
-    if (hp is not None and hp_bwd is not None and s <= _PACKED_MAX_S
-            and not _windowed(axis, s)):
+    long_s = s > _PACKED_MAX_S
+    budget_fwd = _LONG_BUDGET if long_s else 2_500_000
+    budget_bwd = _LONG_BUDGET if long_s else _BWD_BUDGET
+    hp = _packed_heads(h, dh, s, qkv.dtype.itemsize, budget=budget_fwd)
+    hp_bwd = _packed_heads(h, dh, s, qkv.dtype.itemsize, budget=budget_bwd)
+    # short S: packed unless the per-head windowed-space band applies.
+    # long S (16/32-frame eval & fine-tune): packed too — the frame-block
+    # space and dense time kernels both run inside the packed layout with
+    # the raised vmem limit, and skipping the [B,S,3,H,Dh] transposes
+    # removes the copy/reshape share that dominated the 32f profile
+    # (~250 ms of a 950 ms step).
+    use_packed = hp is not None and hp_bwd is not None and (
+        (not long_s and not _windowed(axis, s))
+        or (long_s and _PACKED_LONG))
+    if use_packed:
         # zero-copy path: the reshape below undoes the caller's reshape of
         # the qkv Dense output, so the kernel reads the matmul result as-is
         out = _packed_pallas(qkv.reshape(b, s, 3 * h * dh), scale, axis,

@@ -42,8 +42,7 @@ def categorize(name: str) -> str:
     return "other"
 
 
-def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/egovlp_trace"
+def _step_pretrain():
     from egovlpv2_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
     from egovlpv2_tpu.parallel.mesh import make_mesh, shard_batch
     from egovlpv2_tpu.tasks.pretrain import build_pretrain, synthetic_batch
@@ -59,18 +58,72 @@ def main():
     )
     mesh = make_mesh((-1, 1), ("data", "model"))
     batch = synthetic_batch(cfg, batch_size)
-    with mesh:
-        model, init_state = build_pretrain(cfg, mesh=mesh)
-        state, step = init_state(batch)
-        dev_batch = shard_batch(batch, mesh)
-        for _ in range(4):  # compile + server warmup
-            state, metrics = step(state, dev_batch)
-            _ = float(metrics["loss_total"])
-        jax.profiler.start_trace(trace_dir)
-        for _ in range(3):
-            state, metrics = step(state, dev_batch)
-            _ = float(metrics["loss_total"])
-        jax.profiler.stop_trace()
+    ctx = mesh.__enter__()
+    model, init_state = build_pretrain(cfg, mesh=mesh)
+    state, step = init_state(batch)
+    dev_batch = shard_batch(batch, mesh)
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step(holder["state"], dev_batch)
+        _ = float(metrics["loss_total"])
+    return one
+
+
+def _step_charades32():
+    """The ft-charades 32-frame dual-encoder train step (bench_eval's
+    ft_charades_32f workload)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bench_eval import _model_cfg, _init
+    import dataclasses
+    import numpy as np
+    from egovlpv2_tpu.tasks.retrieval import make_dual_train_step
+    from egovlpv2_tpu.train.optimizer import make_optimizer
+    from egovlpv2_tpu.train.step import TrainState
+
+    batch, num_frames = 8, 32
+    cfg = _model_cfg(num_frames, dual=True)
+    cfg = dataclasses.replace(
+        cfg, loss=dataclasses.replace(cfg.loss, type="NormSoftmax"),
+        max_text_len=30, global_batch_size=batch)
+    model, params = _init(cfg)
+    tx = make_optimizer(cfg.optim, params)
+    step_fn = make_dual_train_step(model, cfg, tx)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                       jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    v = cfg.model.video
+    data = {
+        "video": jnp.asarray(
+            rs.randn(batch, num_frames, v.img_size, v.img_size, 3),
+            jnp.float32),
+        "text_ids": jnp.asarray(rs.randint(4, 1000, (batch, 30)), jnp.int32),
+        "text_mask": jnp.ones((batch, 30), jnp.int32),
+    }
+    holder = {"state": state}
+
+    def one():
+        holder["state"], metrics = step_fn(holder["state"], data)
+        _ = float(metrics["loss_total"])
+    return one
+
+
+_MODES = {"pretrain": _step_pretrain, "charades32": _step_charades32}
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    mode = "pretrain"
+    if args and args[0] in _MODES:
+        mode = args.pop(0)
+    trace_dir = args[0] if args else "/tmp/egovlp_trace"
+    one = _MODES[mode]()
+    for _ in range(4):  # compile + server warmup
+        one()
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(3):
+        one()
+    jax.profiler.stop_trace()
 
     # parse the perfetto trace: flat 'XLA Ops' device track only (the
     # 'Steps' / 'XLA Modules' / name-scope tracks nest and double-count)
