@@ -207,3 +207,17 @@ def test_windowed_frame_block_parity_pretrain_shape():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_long_s_packed_head_grouping():
+    """The long-S packed route must stay expressible at the production
+    16f/32f shapes: 128-aligned lane blocks with the raised budget give
+    hp=4 at S=3137 and hp=2 at S=6273 (routing would silently fall back
+    to the transpose-heavy per-head path otherwise)."""
+    from egovlpv2_tpu.ops import divided as d
+
+    assert d._packed_heads(12, 64, 3137, 2, budget=d._LONG_BUDGET) == 4
+    assert d._packed_heads(12, 64, 6273, 2, budget=d._LONG_BUDGET) == 2
+    # pretrain shape keeps the measured-optimal short-S grouping
+    assert d._packed_heads(12, 64, 785, 2) == 6
+    assert d._packed_heads(12, 64, 785, 2, budget=d._BWD_BUDGET) == 2
