@@ -246,6 +246,7 @@ def cmd_pretrain(args):
                 args.meta, args.data, num_frames=cfg.model.video.num_frames,
                 input_res=cfg.model.video.img_size,
                 neg_param=args.neg_param,
+                device_norm=args.device_norm,
             )
             tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
                             vocab_cap=cfg.model.text.vocab_size)
@@ -774,6 +775,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--save_dir", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--device_norm", action="store_true",
+                   help="ship uint8 frames and normalize on device "
+                        "(4x fewer host->device bytes per batch)")
     p.add_argument("--neg_param", type=int, default=60,
                    help="scene-negative window seconds; 0 disables")
     p.add_argument("--epochs", type=int, default=1)

@@ -38,6 +38,11 @@ class VideoEncoderConfig:
     # LayerNorm eps inside blocks & final norm; reference uses torch default
     # 1e-5 (nn.LayerNorm passed as the default `norm_layer`).
     ln_eps: float = 1e-5
+    # normalization regime applied ON DEVICE when the video input arrives
+    # as uint8 (datasets with device_norm=True ship un-normalized frames —
+    # 4x fewer host->device bytes): "imagenet" ((x/255 - mean)/std) or
+    # "epic" (0-255 mean/std). f32 inputs are assumed host-normalized.
+    uint8_norm: str = "imagenet"
 
     @property
     def patches_per_frame(self) -> int:

@@ -44,6 +44,7 @@ class EgoClipDataset:
         neg_param: Optional[int] = 60,
         loading: str = "strict",
         seed: int = 0,
+        device_norm: bool = False,
     ):
         import pandas as pd
 
@@ -53,6 +54,10 @@ class EgoClipDataset:
         self.input_res = input_res
         self.neg_param = neg_param
         self.loading = loading
+        # device_norm: emit uint8 video (geometric transform only); the
+        # model normalizes on device (VideoEncoderConfig.uint8_norm) — 4x
+        # fewer host->device bytes per batch.
+        self.device_norm = device_norm
         self.rng = np.random.default_rng(seed)
         if neg_param:
             self.meta = self.meta.assign(
@@ -85,8 +90,15 @@ class EgoClipDataset:
             if self.loading == "strict":
                 raise
             clip = np.zeros((1, self.input_res, self.input_res, 3), np.float32)
-        clip = transforms.train_transform(clip, self.rng, size=self.input_res)
-        out = np.zeros((self.num_frames, self.input_res, self.input_res, 3), np.float32)
+        if self.device_norm:
+            clip = transforms.train_transform_uint8(
+                clip, self.rng, size=self.input_res)
+            out = np.zeros(
+                (self.num_frames, self.input_res, self.input_res, 3), np.uint8)
+        else:
+            clip = transforms.train_transform(clip, self.rng, size=self.input_res)
+            out = np.zeros(
+                (self.num_frames, self.input_res, self.input_res, 3), np.float32)
         out[: clip.shape[0]] = clip
         return out
 

@@ -139,6 +139,20 @@ def train_transform(
     return _normalize_out(clip, mean, std)
 
 
+def train_transform_uint8(
+    clip01: np.ndarray,
+    rng: np.random.Generator,
+    size: int = 224,
+    scale: Tuple[float, float] = (0.5, 1.0),
+) -> np.ndarray:
+    """Geometric train pipeline only, quantized back to uint8 ([0,1]
+    regime): the model normalizes on device (`uint8_norm` in
+    VideoEncoderConfig), so the host ships 4x fewer bytes per batch."""
+    clip = random_resized_crop(clip01, size, rng, scale=scale)
+    clip = hflip(clip, rng)
+    return np.round(np.clip(clip, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
 def eval_transform(
     clip01: np.ndarray,
     size: int = 224,

@@ -35,6 +35,13 @@ from egovlpv2_tpu.core.config import FusionConfig, VideoEncoderConfig
 from egovlpv2_tpu.ops.attention import attend
 from egovlpv2_tpu.ops.divided import divided_attention
 
+# on-device normalization regimes for uint8 video input (see patchify):
+# (mean, std, input_scale) — x.astype(f32) * scale, then (x - mean) / std.
+_UINT8_NORM = {
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225), 1.0 / 255.0),
+    "epic": ((123.675, 116.28, 103.53), (58.395, 57.12, 57.375), 1.0),
+}
+
 
 def _trunc_normal(std: float):
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
@@ -277,7 +284,16 @@ class SpaceTimeViT(nn.Module):
         self.pos_drop = nn.Dropout(cfg.drop_rate)
 
     def patchify(self, video: jax.Array) -> jax.Array:
-        """[B, F, H, W, C] -> [B, F*N, D] (frame-major, row-major patches)."""
+        """[B, F, H, W, C] -> [B, F*N, D] (frame-major, row-major patches).
+
+        uint8 input means the host shipped un-normalized frames (dataset
+        `device_norm=True`): apply the `cfg.uint8_norm` regime here so the
+        normalize rides the same fused pass as the patch projection."""
+        if video.dtype == jnp.uint8:
+            mean, std, scale = _UINT8_NORM[self.cfg.uint8_norm]
+            video = (video.astype(jnp.float32) * scale
+                     - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+                         std, jnp.float32)
         b, f, hh, ww, c = video.shape
         x = video.reshape(b * f, hh, ww, c)
         x = self.patch_proj(x)  # [B*F, N, D]

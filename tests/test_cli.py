@@ -140,7 +140,9 @@ def test_dual_finetune_synthetic(tiny_config, name):
     ])
 
 
-def test_pretrain_from_generated_mp4s(tiny_config, tmp_path):
+@pytest.mark.parametrize("device_norm", [False, True],
+                         ids=["host_norm", "device_norm"])
+def test_pretrain_from_generated_mp4s(tiny_config, tmp_path, device_norm):
     """The REAL data path end to end: chunked EgoClip-layout mp4s on disk ->
     cv2 chunk-spanning reader -> train transform -> threaded loader with
     scene-negative concat + tokenize + MLM collate -> jitted train step.
@@ -175,7 +177,7 @@ def test_pretrain_from_generated_mp4s(tiny_config, tmp_path):
         "--neg_param", "60", "--num_workers", "2",
         "--epochs", "1", "--save_dir", str(save),
         "--set", "global_batch_size=8",  # 8 virtual devices (conftest)
-    ])
+    ] + (["--device_norm"] if device_norm else []))
     stats = (save / "stats.txt").read_text().strip().splitlines()
     assert stats, "no training steps logged"
     last = json.loads(stats[-1])

@@ -138,3 +138,23 @@ def test_dual_tower_shapes():
     params = vit.init(jax.random.PRNGKey(0), video)
     out = vit.apply(params, video)
     assert out.shape == (B, D)
+
+
+def test_patchify_uint8_device_norm_parity():
+    """uint8 input + on-device imagenet normalize (patchify) must match
+    host-normalized f32 input built from the same uint8 values (dataset
+    device_norm=True ships 4x fewer bytes)."""
+    vit = SpaceTimeViT(CFG, FUS)
+    video = jnp.zeros((1, F, 32, 32, 3))
+    params = vit.init(jax.random.PRNGKey(0), video)
+
+    rs = np.random.RandomState(7)
+    u8 = rs.randint(0, 256, (2, F, 32, 32, 3), np.uint8)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    f32 = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    pf = lambda m, v: m.patchify(v)
+    got = np.asarray(vit.apply(params, jnp.asarray(u8), method=pf))
+    ref = np.asarray(vit.apply(params, jnp.asarray(f32), method=pf))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
