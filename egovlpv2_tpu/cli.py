@@ -402,11 +402,19 @@ def _run_dual_ft(args, dataset_name: str):
     cfg = load_train_config(args.config, args.set)
     # retrieval fine-tunes use the small projections + Dual loss
     loss_type = "AdaptiveMaxMargin" if dataset_name == "epic" else "NormSoftmax"
+    model_cfg = dataclasses.replace(cfg.model, projection="small",
+                                    projection_dim=256, with_itm_head=False,
+                                    with_mlm_head=False)
+    if getattr(args, "device_norm", False):
+        # uint8 feed: the model normalizes on device with the dataset's
+        # regime (EPIC trains in 0-255 units, Charades in [0,1] imagenet)
+        model_cfg = dataclasses.replace(
+            model_cfg, video=dataclasses.replace(
+                model_cfg.video,
+                uint8_norm="epic" if dataset_name == "epic" else "imagenet"))
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, projection="small",
-                                  projection_dim=256, with_itm_head=False,
-                                  with_mlm_head=False),
+        model=model_cfg,
         loss=dataclasses.replace(cfg.loss, type=loss_type),
         max_text_len=30,  # fine-tunes tokenize at 30 (trainer_epic.py:134)
     )
@@ -455,12 +463,14 @@ def _run_dual_ft(args, dataset_name: str):
             ds = EpicKitchensMIRDataset(
                 args.meta, args.data, split="train",
                 num_frames=cfg.model.video.num_frames,
-                input_res=cfg.model.video.img_size)
+                input_res=cfg.model.video.img_size,
+                device_norm=getattr(args, "device_norm", False))
         else:
             ds = CharadesEgoDataset(
                 args.meta, args.data, split="train",
                 num_frames=cfg.model.video.num_frames,
-                input_res=cfg.model.video.img_size)
+                input_res=cfg.model.video.img_size,
+                device_norm=getattr(args, "device_norm", False))
 
         def post(batch):
             enc = tok(batch.pop("text"))
@@ -822,6 +832,8 @@ def main(argv=None):
         f.add_argument("--ckpt", default=None)
         f.add_argument("--save_dir", default=None)
         f.add_argument("--synthetic", action="store_true")
+        f.add_argument("--device_norm", action="store_true",
+                       help="ship uint8 frames and normalize on device")
         f.add_argument("--epochs", type=int, default=1)
         f.add_argument("--steps_per_epoch", type=int, default=4)
         f.add_argument("--log_every", type=int, default=1)

@@ -189,13 +189,14 @@ class EpicKitchensMIRDataset:
 
     def __init__(self, meta_dir: str, data_dir: str, split: str = "train",
                  num_frames: int = 16, input_res: int = 224, seed: int = 0,
-                 sliding_window_stride: int = -1):
+                 sliding_window_stride: int = -1, device_norm: bool = False):
         import pandas as pd
 
         self.split = split
         self.data_dir = data_dir
         self.num_frames = num_frames
         self.input_res = input_res
+        self.device_norm = device_norm  # train split ships uint8 (epic regime)
         self.rng = np.random.default_rng(seed)
         tag = "train" if split == "train" else "test"
         self.meta = pd.read_csv(
@@ -247,10 +248,17 @@ class EpicKitchensMIRDataset:
         # EPIC uses the 0-255 normalization regime
         clip255 = clip * 255.0
         if self.split == "train":
-            clip255 = transforms.train_transform(
-                clip255, self.rng, size=self.input_res,
-                mean=transforms.EPIC_MEAN, std=transforms.EPIC_STD,
-            )
+            if self.device_norm:
+                # geometric only; quantize 0-255 to uint8 — the model
+                # applies the EPIC regime on device (uint8_norm="epic")
+                clip255 = np.round(np.clip(transforms.train_transform(
+                    clip255, self.rng, size=self.input_res,
+                    normalize=False), 0.0, 255.0)).astype(np.uint8)
+            else:
+                clip255 = transforms.train_transform(
+                    clip255, self.rng, size=self.input_res,
+                    mean=transforms.EPIC_MEAN, std=transforms.EPIC_STD,
+                )
         else:
             clip255 = transforms.eval_transform(
                 clip255, size=self.input_res,
@@ -277,7 +285,7 @@ class CharadesEgoDataset:
 
     def __init__(self, meta_dir: str, data_dir: str, split: str = "train",
                  num_frames: int = 32, input_res: int = 224, seed: int = 0,
-                 sliding_window_stride: int = -1):
+                 sliding_window_stride: int = -1, device_norm: bool = False):
         import pandas as pd
 
         tag = {"train": "metadata_train", "val": "metadata_val",
@@ -287,6 +295,7 @@ class CharadesEgoDataset:
         self.data_dir = data_dir
         self.num_frames = num_frames
         self.input_res = input_res
+        self.device_norm = device_norm  # train split ships uint8 (imagenet)
         self.rng = np.random.default_rng(seed)
         # test-time sliding-window expansion (base_dataset.py:82-106)
         self.windows = None
@@ -318,7 +327,12 @@ class CharadesEgoDataset:
             start_sec=start, end_sec=end, fix_start=fix_start, rng=self.rng,
         )
         if self.split == "train":
-            clip = transforms.train_transform(clip, self.rng, size=self.input_res)
+            if self.device_norm:
+                clip = transforms.train_transform_uint8(
+                    clip, self.rng, size=self.input_res)
+            else:
+                clip = transforms.train_transform(
+                    clip, self.rng, size=self.input_res)
             return {"video": clip, "text": str(sample["narration"])}
         clip = transforms.eval_transform(clip, size=self.input_res)
         target = np.zeros(self.NUM_CLASSES, np.float32)

@@ -132,10 +132,16 @@ def train_transform(
     scale: Tuple[float, float] = (0.5, 1.0),
     mean: np.ndarray = IMAGENET_MEAN,
     std: np.ndarray = IMAGENET_STD,
+    normalize: bool = True,
 ) -> np.ndarray:
-    """clip01: float32 [T, H, W, C] in [0, 1] (or raw 0-255 for EPIC regime)."""
+    """clip01: float32 [T, H, W, C] in [0, 1] (or raw 0-255 for EPIC regime).
+
+    `normalize=False` returns the geometric pipeline only (see
+    eval_transform)."""
     clip = random_resized_crop(clip01, size, rng, scale=scale)
     clip = hflip(clip, rng)
+    if not normalize:
+        return clip
     return _normalize_out(clip, mean, std)
 
 
@@ -148,8 +154,8 @@ def train_transform_uint8(
     """Geometric train pipeline only, quantized back to uint8 ([0,1]
     regime): the model normalizes on device (`uint8_norm` in
     VideoEncoderConfig), so the host ships 4x fewer bytes per batch."""
-    clip = random_resized_crop(clip01, size, rng, scale=scale)
-    clip = hflip(clip, rng)
+    clip = train_transform(clip01, rng, size=size, scale=scale,
+                           normalize=False)
     return np.round(np.clip(clip, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 

@@ -196,7 +196,9 @@ def _write_mp4(path, seconds=2, res=32, seed=0):
     w.release()
 
 
-def test_ft_charades_from_generated_mp4s(tiny_config, tmp_path):
+@pytest.mark.parametrize("device_norm", [False, True],
+                         ids=["host_norm", "device_norm"])
+def test_ft_charades_from_generated_mp4s(tiny_config, tmp_path, device_norm):
     """Charades fine-tune CLI over real mp4s + metadata csv (NormSoftmax
     Dual path; multinode_train_charades.py capability)."""
     data = tmp_path / "char_videos"
@@ -214,7 +216,7 @@ def test_ft_charades_from_generated_mp4s(tiny_config, tmp_path):
         "--meta", str(meta), "--data", str(data),
         "--epochs", "1", "--save_dir", str(save),
         "--set", "global_batch_size=8",
-    ])
+    ] + (["--device_norm"] if device_norm else []))
     stats = (save / "stats.txt").read_text().strip().splitlines()
     assert stats and np.isfinite(json.loads(stats[-1])["loss_total"])
 

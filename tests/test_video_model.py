@@ -158,3 +158,24 @@ def test_patchify_uint8_device_norm_parity():
     got = np.asarray(vit.apply(params, jnp.asarray(u8), method=pf))
     ref = np.asarray(vit.apply(params, jnp.asarray(f32), method=pf))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_patchify_uint8_epic_regime_parity():
+    """uint8 + uint8_norm='epic' matches the host 0-255 EPIC normalize."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, uint8_norm="epic")
+    vit = SpaceTimeViT(cfg, FUS)
+    video = jnp.zeros((1, F, 32, 32, 3))
+    params = vit.init(jax.random.PRNGKey(0), video)
+
+    rs = np.random.RandomState(11)
+    u8 = rs.randint(0, 256, (2, F, 32, 32, 3), np.uint8)
+    mean = np.array([123.675, 116.28, 103.53], np.float32)
+    std = np.array([58.395, 57.12, 57.375], np.float32)
+    f32 = (u8.astype(np.float32) - mean) / std
+
+    pf = lambda m, v: m.patchify(v)
+    got = np.asarray(vit.apply(params, jnp.asarray(u8), method=pf))
+    ref = np.asarray(vit.apply(params, jnp.asarray(f32), method=pf))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
