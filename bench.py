@@ -25,12 +25,27 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 10_000_000 / (5 * 86400) / 32  # 0.723
 
 
+def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
+    """The tunneled TPU backend can fail to initialize transiently
+    (observed: RuntimeError 'Unable to initialize backend ... UNAVAILABLE').
+    Retry a few times before giving up so a blip doesn't cost the bench."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"# backend init failed ({e}); retry {i + 1}/{attempts}",
+                  flush=True)
+            time.sleep(wait_s)
+
+
 def main():
     from egovlpv2_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
     from egovlpv2_tpu.parallel.mesh import make_mesh, shard_batch
     from egovlpv2_tpu.tasks.pretrain import build_pretrain, synthetic_batch
 
-    n_dev = len(jax.devices())
+    n_dev = len(_devices_with_retry())
     batch_per_chip = int(os.environ.get("BENCH_BATCH", "16"))
     batch_size = batch_per_chip * n_dev
 
