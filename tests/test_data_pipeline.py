@@ -101,3 +101,34 @@ def test_loader_batches():
     assert len(batches) == 2  # drop_last
     assert batches[0]["x"].shape == (4, 2)
     assert batches[0]["label"].shape == (4,)
+
+
+def test_loader_preserves_uint8_batches():
+    """device_norm feeds collate as uint8 all the way to the device batch
+    (dtype widening in the loader would silently re-inflate the transfer)."""
+    class ToyU8:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"video": np.full((2, 4, 4, 3), i, np.uint8), "idx": i}
+
+    dl = DataLoader(ToyU8(), batch_size=4, num_workers=1)
+    batch = next(iter(dl.epoch(0)))
+    assert batch["video"].dtype == np.uint8
+    assert batch["video"].shape == (4, 2, 4, 4, 3)
+
+
+def test_train_transform_uint8_roundtrip():
+    """uint8 geometric output matches the f32 pipeline up to 8-bit
+    quantization (same rng -> same crop/flip)."""
+    from egovlpv2_tpu.data import transforms
+
+    rs = np.random.RandomState(5)
+    clip = rs.rand(3, 40, 40, 3).astype(np.float32)
+    f = transforms.train_transform(clip, np.random.default_rng(9), size=32,
+                                   normalize=False)
+    u = transforms.train_transform_uint8(clip, np.random.default_rng(9),
+                                         size=32)
+    assert u.dtype == np.uint8
+    np.testing.assert_allclose(u.astype(np.float32) / 255.0, f, atol=1 / 255.0)
