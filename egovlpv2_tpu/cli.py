@@ -167,7 +167,8 @@ def _make_egomcq_batches(args, cfg, tokenizer_name: str, batch_size: int = 4):
         meta = getattr(args, "val_meta", None) or args.meta
         data = getattr(args, "val_data", None) or args.data
         ds = EgoMCQDataset(meta, data, num_frames=cfg.model.video.num_frames,
-                           input_res=cfg.model.video.img_size, loading="lax")
+                           input_res=cfg.model.video.img_size, loading="lax",
+                           device_norm=getattr(args, "device_norm", False))
 
         def post(batch):
             enc = tok(batch.pop("text"))
@@ -814,6 +815,8 @@ def main(argv=None):
     e.add_argument("--val_batches", type=int, default=2,
                    help="synthetic-mode batch count")
     e.add_argument("--vtc_only", action="store_true")
+    e.add_argument("--device_norm", action="store_true",
+                   help="ship uint8 frames and normalize on device")
     e.add_argument("--out", default=None, help="write metrics JSON here")
     e.set_defaults(fn=cmd_egomcq)
 

@@ -139,7 +139,8 @@ class EgoMCQDataset:
     """EgoMCQ validation: 5 candidate clips per text query."""
 
     def __init__(self, meta_path: str, data_dir: str, num_frames: int = 16,
-                 input_res: int = 224, loading: str = "strict"):
+                 input_res: int = 224, loading: str = "strict",
+                 device_norm: bool = False):
         with open(meta_path) as f:
             self.meta = json.load(f)
         self.keys = sorted(self.meta.keys(), key=lambda s: int(s))
@@ -147,6 +148,9 @@ class EgoMCQDataset:
         self.num_frames = num_frames
         self.input_res = input_res
         self.loading = loading
+        # 5 candidate clips per item make MCQ the heaviest transfer of the
+        # eval paths; uint8 + device norm quarters it
+        self.device_norm = device_norm
 
     def __len__(self):
         return len(self.keys)
@@ -166,8 +170,17 @@ class EgoMCQDataset:
             if self.loading == "strict":
                 raise
             clip = np.zeros((1, self.input_res, self.input_res, 3), np.float32)
-        clip = transforms.eval_transform(clip, size=self.input_res)
-        out = np.zeros((self.num_frames, self.input_res, self.input_res, 3), np.float32)
+        if self.device_norm:
+            clip = transforms.eval_transform(clip, size=self.input_res,
+                                             normalize=False)
+            clip = np.round(np.clip(clip, 0.0, 1.0) * 255.0).astype(np.uint8)
+            out = np.zeros(
+                (self.num_frames, self.input_res, self.input_res, 3), np.uint8)
+        else:
+            clip = transforms.eval_transform(clip, size=self.input_res)
+            out = np.zeros(
+                (self.num_frames, self.input_res, self.input_res, 3),
+                np.float32)
         out[: clip.shape[0]] = clip
         return out
 

@@ -917,8 +917,10 @@ def _packed_bwd_pallas(qkv_flat, g, scale, axis, num_frames, h, dh, hp):
 
 
 # backward budget: 4 dense [block_q, S] f32 intermediates + per-head
-# accumulators live alongside the blocks (measured: hp=6 OOMs scoped vmem)
-_BWD_BUDGET = 900_000
+# accumulators live alongside the blocks (measured: hp=6 OOMs scoped vmem
+# on the dense path; env override for experiments with the frame-block /
+# frame-pair kernels whose workspaces are far smaller)
+_BWD_BUDGET = int(_os.environ.get("EGOVLP_BWD_BUDGET", "900000"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))

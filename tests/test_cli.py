@@ -221,7 +221,9 @@ def test_ft_charades_from_generated_mp4s(tiny_config, tmp_path, device_norm):
     assert stats and np.isfinite(json.loads(stats[-1])["loss_total"])
 
 
-def test_egomcq_from_generated_mp4s(tiny_config, tmp_path):
+@pytest.mark.parametrize("device_norm", [False, True],
+                         ids=["host_norm", "device_norm"])
+def test_egomcq_from_generated_mp4s(tiny_config, tmp_path, device_norm):
     """EgoMCQ zero-shot eval over real chunked videos + egomcq.json."""
     data = tmp_path / "mcq_videos"
     for uid in ("u0", "u1"):
@@ -247,7 +249,7 @@ def test_egomcq_from_generated_mp4s(tiny_config, tmp_path):
     cli.main([
         "egomcq", "--config", tiny_config, "--meta", str(mpath),
         "--data", str(data), "--batch_size", "2", "--out", str(out),
-    ])
+    ] + (["--device_norm"] if device_norm else []))
     metrics = json.loads(out.read_text())
     assert metrics and all(np.isfinite(v) for v in metrics.values())
 
