@@ -94,6 +94,40 @@ def bench_egomcq(num_frames, batch=4):
             "detail": {"batch": batch, "step_ms": round(dt * 1000, 1)}}
 
 
+def bench_egomcq_feed(num_frames=16, batch=4, dtype="uint8"):
+    """Transfer-inclusive MCQ eval: each step ships a fresh host batch
+    (f32 host-normalized vs uint8 device-normalized) before scoring —
+    measures the real eval loop where the host->device link participates
+    (the pure-compute bench_egomcq keeps data resident)."""
+    from egovlpv2_tpu.tasks.egomcq import make_egomcq_eval_step
+
+    cfg = _model_cfg(num_frames)
+    model, params = _init(cfg)
+    eval_step = make_egomcq_eval_step(model, with_vtm=True)
+    rs = np.random.RandomState(0)
+    v = cfg.model.video
+    shape = (batch, 5, num_frames, v.img_size, v.img_size, 3)
+    if dtype == "uint8":
+        host_video = rs.randint(0, 256, shape).astype(np.uint8)
+        # patchify normalizes uint8 on device (imagenet regime)
+    else:
+        host_video = rs.randn(*shape).astype(np.float32)
+    ids = jnp.asarray(rs.randint(4, 1000, (batch, cfg.max_text_len)), jnp.int32)
+    mask = jnp.ones((batch, cfg.max_text_len), jnp.int32)
+
+    def step():
+        video5 = jnp.asarray(host_video)
+        out = eval_step(params, video5, ids, mask)
+        float(jnp.sum(out["vtc"]) + jnp.sum(out["vtm"]))
+
+    dt = _time_steps(step)
+    clips = batch * 5
+    return {"metric": f"egomcq_{num_frames}f_feed_{dtype}_clips_per_sec",
+            "value": round(clips / dt, 2), "unit": "clips/s",
+            "detail": {"batch": batch, "step_ms": round(dt * 1000, 1),
+                       "host_bytes_per_step": host_video.nbytes}}
+
+
 def bench_zs_retrieval(batch=32, num_frames=4):
     cfg = _model_cfg(num_frames, dual=True)
     model, params = _init(cfg)
@@ -191,6 +225,8 @@ def main():
         ("zs_retrieval", bench_zs_retrieval),
         ("ft_charades_32f", bench_ft_charades),
         ("extract", bench_extract),
+        ("feed_f32", lambda: bench_egomcq_feed(dtype="f32")),
+        ("feed_uint8", lambda: bench_egomcq_feed(dtype="uint8")),
     ]
     for name, fn in benches:
         if only and only not in name:
