@@ -940,6 +940,12 @@ def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
         # measured SLOWER than XLA's grouped vjp (5.14 vs ~3.8 ms fwd+bwd
         # at [4,3137,12,64]) — the [block_q, S] f32 intermediates defeat
         # the win. Differentiate the einsum path instead (same math).
+        if _TIME_LONG_FLAT:
+            # transpose-free variant: same math on the flat packed layout
+            _, vjp = jax.vjp(
+                lambda x: _time_xla_flat(x, scale, num_frames, h, dh),
+                qkv_flat)
+            return vjp(g)
         qkv5 = qkv_flat.reshape(b, s, 3, h, dh)
         _, vjp = jax.vjp(
             lambda x: _divided_xla(x, scale, axis, num_frames), qkv5)
@@ -1090,6 +1096,56 @@ def _divided_xla(qkv: jax.Array, scale: float, axis: str, num_frames: int):
     out = out.reshape(b, h, f * n, dh)
     out = jnp.concatenate([cls_out, out], axis=2)  # [B, H, S, Dh]
     return out.transpose(0, 2, 1, 3)  # [B, S, H, Dh]
+
+
+def _time_xla_flat(qkv_flat: jax.Array, scale: float, num_frames: int,
+                   h: int, dh: int) -> jax.Array:
+    """Time attention with the CLS splice directly on the packed flat layout.
+
+    Same math as `_divided_xla(axis='time')` but on [B, S, 3*H*Dh] with no
+    [B,S,3,H,Dh] <-> [3,B,H,S,Dh] transposes: every regrouping is either a
+    lane slice or a reshape, and the frame pairing is expressed through
+    einsum index orders so XLA picks the layouts. Exists for the long-S
+    TIME backward (`_packed_bwd`), where the vjp of the transpose-heavy
+    reference path is the dominant copy source in the 32-frame profile
+    (~250 ms of a ~950 ms ft-charades step, docs/ROUND3_NOTES.md).
+    """
+    b, s, _ = qkv_flat.shape
+    f, hd = num_frames, h * dh
+    n = (s - 1) // f
+    q = qkv_flat[..., :hd].reshape(b, s, h, dh)
+    k = qkv_flat[..., hd:2 * hd].reshape(b, s, h, dh)
+    v = qkv_flat[..., 2 * hd:].reshape(b, s, h, dh)
+    qs = q * jnp.asarray(scale, q.dtype)
+    # CLS query row: dense over all S keys (reference splices the CLS row
+    # unchanged through both divided axes, video_transformer.py:117-153)
+    cls_lg = jnp.einsum("bhd,bshd->bhs", qs[:, 0], k,
+                        preferred_element_type=jnp.float32)
+    cls_p = jax.nn.softmax(cls_lg, axis=-1).astype(q.dtype)
+    cls_out = jnp.einsum("bhs,bshd->bhd", cls_p, v,
+                         preferred_element_type=q.dtype)
+    # patch rows: attend the same patch column across frames, + the CLS key
+    qp = qs[:, 1:].reshape(b, f, n, h, dh)
+    kp = k[:, 1:].reshape(b, f, n, h, dh)
+    vp = v[:, 1:].reshape(b, f, n, h, dh)
+    lg = jnp.einsum("bfnhd,bgnhd->bnhfg", qp, kp,
+                    preferred_element_type=jnp.float32)
+    lc = jnp.einsum("bfnhd,bhd->bnhf", qp, k[:, 0],
+                    preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(jnp.concatenate([lc[..., None], lg], axis=-1), axis=-1)
+    p = p.astype(q.dtype)  # [B, N, H, F, 1+F]
+    out = jnp.einsum("bnhfg,bgnhd->bfnhd", p[..., 1:], vp,
+                     preferred_element_type=q.dtype)
+    out = out + jnp.einsum("bnhf,bhd->bfnhd", p[..., 0], v[:, 0],
+                           preferred_element_type=q.dtype)
+    return jnp.concatenate(
+        [cls_out.reshape(b, 1, hd), out.reshape(b, s - 1, hd)], axis=1)
+
+
+# Long-S TIME backward through the flat einsum formulation above instead of
+# the transpose-heavy reference path. Queued chip experiment (tunnel down
+# when written); flip after the ft-charades-32f step bench confirms a win.
+_TIME_LONG_FLAT = _os.environ.get("EGOVLP_TIME_LONG_FLAT", "0") == "1"
 
 
 def divided_attention(

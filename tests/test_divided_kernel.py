@@ -221,3 +221,65 @@ def test_long_s_packed_head_grouping():
     # pretrain shape keeps the measured-optimal short-S grouping
     assert d._packed_heads(12, 64, 785, 2) == 6
     assert d._packed_heads(12, 64, 785, 2, budget=d._BWD_BUDGET) == 2
+
+
+def test_time_xla_flat_parity():
+    """`_time_xla_flat` (transpose-free flat-layout time attention, the
+    EGOVLP_TIME_LONG_FLAT backward variant) must match `_divided_xla`
+    exactly — forward and gradient — including the CLS splice."""
+    from egovlpv2_tpu.ops import divided
+
+    b, f, n, h, dh = 2, 8, 13, 3, 16
+    s = 1 + f * n
+    rs = np.random.RandomState(7)
+    qkv = _qkv(rs, b, s, h, dh)  # [B, S, 3, H, Dh]
+    # packed flat layout is [q_0..q_H | k_0..k_H | v_0..v_H] along lanes
+    flat = jnp.concatenate(
+        [qkv[:, :, c].reshape(b, s, h * dh) for c in range(3)], axis=-1)
+    ct = jnp.asarray(rs.randn(b, s, h * dh), jnp.float32)
+    scale = dh ** -0.5
+
+    ref = divided._divided_xla(qkv, scale, "time", f)  # [B, S, H, Dh]
+    got = divided._time_xla_flat(flat, scale, f, h, dh)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref.reshape(b, s, h * dh)),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_ref(x):
+        out = divided._divided_xla(x, scale, "time", f)
+        return jnp.sum(out.reshape(b, s, h * dh) * ct)
+
+    def loss_flat(x):
+        return jnp.sum(divided._time_xla_flat(x, scale, f, h, dh) * ct)
+
+    ref_g = jax.grad(loss_ref)(qkv)
+    ref_g_flat = jnp.concatenate(
+        [ref_g[:, :, c].reshape(b, s, h * dh) for c in range(3)], axis=-1)
+    got_g = jax.grad(loss_flat)(flat)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g_flat),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_long_sequence_flat_bwd(monkeypatch):
+    """With EGOVLP_TIME_LONG_FLAT the long-S time backward routes through
+    `_time_xla_flat`; end-to-end grads must still match grad-of-xla."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_LONG_FLAT", True)
+    b, f, n, h, dh = FWD_ONLY_CASES[0]
+    s = 1 + f * n
+    rs = np.random.RandomState(4)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
