@@ -25,19 +25,37 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 10_000_000 / (5 * 86400) / 32  # 0.723
 
 
-def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0):
+def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0,
+                        attempt_timeout_s: int = 300):
     """The tunneled TPU backend can fail to initialize transiently
-    (observed: RuntimeError 'Unable to initialize backend ... UNAVAILABLE').
-    Retry a few times before giving up so a blip doesn't cost the bench."""
+    (observed: RuntimeError 'Unable to initialize backend ... UNAVAILABLE')
+    or HANG indefinitely inside jax.devices() when the tunnel is down
+    (observed during the round-3 outage). The hang is inside a C call that
+    never returns to the interpreter, so an in-process SIGALRM handler
+    cannot fire (measured: a 300 s alarm never raised in 580 s). Probe in
+    a SUBPROCESS instead — a hung child can always be killed — and only
+    init the backend in-process once a probe has succeeded. The probe
+    child exits before we init, so it never contends for the chip."""
+    import subprocess
+    import sys
+
+    last = None
     for i in range(attempts):
         try:
-            return jax.devices()
-        except RuntimeError as e:
-            if i == attempts - 1:
-                raise
-            print(f"# backend init failed ({e}); retry {i + 1}/{attempts}",
-                  flush=True)
-            time.sleep(wait_s)
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=attempt_timeout_s)
+            if out.returncode == 0:
+                return jax.devices()
+            last = (f"probe exit {out.returncode}: "
+                    f"{out.stderr.strip()[-300:]}")
+        except subprocess.TimeoutExpired:
+            last = f"probe exceeded {attempt_timeout_s}s (tunnel down?)"
+        if i == attempts - 1:
+            raise RuntimeError(f"TPU backend unavailable: {last}")
+        print(f"# backend probe failed ({last}); retry {i + 1}/{attempts}",
+              flush=True)
+        time.sleep(wait_s)
 
 
 def main():
