@@ -14,6 +14,17 @@ import json
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
+# Canonical normalization regimes, the single source shared by host-side
+# transforms (data/transforms.py), on-device uint8 normalization
+# (models/video.py patchify) and extraction (tasks/extract.py):
+# (mean, std, input_scale) — x.astype(f32) * scale, then (x - mean) / std.
+# "imagenet": 0-1 floats (reference transforms.py:42-70); "epic": 0-255
+# units (EpicKitchens_MIR_dataset.py:147-159).
+NORM_STATS = {
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225), 1.0 / 255.0),
+    "epic": ((123.675, 116.28, 103.53), (58.395, 57.12, 57.375), 1.0),
+}
+
 
 @dataclass(frozen=True)
 class VideoEncoderConfig:

@@ -32,7 +32,13 @@ def _find_lib() -> Optional[str]:
 
 def _try_build(native_dir: str) -> None:
     """Self-provision: build libvideoproc.so once if a compiler is present
-    (set EGOVLP_NO_NATIVE_BUILD=1 to disable)."""
+    (set EGOVLP_NO_NATIVE_BUILD=1 to disable).
+
+    Concurrency: multiple loader workers / jobs can hit a fresh checkout at
+    once. An exclusive flock serializes the builds (the Makefile additionally
+    compiles to a temp and atomic-renames, so a reader never dlopens a
+    partial .so); whoever loses the race finds the finished library after
+    acquiring the lock and skips the compile via make's mtime check."""
     import shutil
     import subprocess
 
@@ -43,8 +49,17 @@ def _try_build(native_dir: str) -> None:
     if shutil.which("make") is None or shutil.which("g++") is None:
         return
     try:
-        subprocess.run(["make", "-C", native_dir], check=False,
-                       capture_output=True, timeout=180)
+        import fcntl
+
+        print("egovlpv2_tpu: building native/libvideoproc.so "
+              "(one-time, may take a minute)...", flush=True)
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                subprocess.run(["make", "-C", native_dir], check=False,
+                               capture_output=True, timeout=180)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     except Exception:
         pass
 
@@ -57,7 +72,12 @@ def load() -> Optional[ctypes.CDLL]:
     path = _find_lib()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # unreadable/corrupt .so (e.g. from an interrupted build): fall back
+        # to the numpy path rather than crashing the loader worker
+        return None
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -162,9 +162,16 @@ def read_frames_av(video_path, num_frames, sample="rand", fix_start=None, rng=No
     try:
         with av.open(video_path) as reader:
             frames = [f.to_rgb().to_ndarray() for f in reader.decode(video=0)]
-    except Exception as exc:  # mirrors the reference's empty-list fallback
-        print(f"{type(exc).__name__}: av reader cannot open {video_path}. "
-              f"Empty list returned.")
+    except Exception as exc:
+        # the reference prints and returns an empty list here
+        # (base_dataset.py:366-370), which crashes downstream anyway; in
+        # this framework decode failure is the dataset's contract (strict
+        # re-raises, lax substitutes black frames), so propagate the real
+        # error instead of letting np.stack([]) mask it.
+        print(f"{type(exc).__name__}: av reader cannot open {video_path}.")
+        raise
+    if not frames:
+        raise RuntimeError(f"av reader decoded no frames from {video_path}")
     idxs = sample_frames(num_frames, len(frames), sample=sample,
                          fix_start=fix_start, rng=rng)
     return _stack01([frames[i] for i in idxs]), idxs

@@ -18,10 +18,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
-EPIC_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
-EPIC_STD = np.array([58.395, 57.12, 57.375], np.float32)
+from egovlpv2_tpu.core.config import NORM_STATS
+
+IMAGENET_MEAN = np.array(NORM_STATS["imagenet"][0], np.float32)
+IMAGENET_STD = np.array(NORM_STATS["imagenet"][1], np.float32)
+EPIC_MEAN = np.array(NORM_STATS["epic"][0], np.float32)
+EPIC_STD = np.array(NORM_STATS["epic"][1], np.float32)
 
 
 def _resize_clip(clip: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:

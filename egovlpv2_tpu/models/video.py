@@ -31,16 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from egovlpv2_tpu.core.config import FusionConfig, VideoEncoderConfig
+from egovlpv2_tpu.core.config import (NORM_STATS, FusionConfig,
+                                      VideoEncoderConfig)
 from egovlpv2_tpu.ops.attention import attend
 from egovlpv2_tpu.ops.divided import divided_attention
 
-# on-device normalization regimes for uint8 video input (see patchify):
-# (mean, std, input_scale) — x.astype(f32) * scale, then (x - mean) / std.
-_UINT8_NORM = {
-    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225), 1.0 / 255.0),
-    "epic": ((123.675, 116.28, 103.53), (58.395, 57.12, 57.375), 1.0),
-}
+# on-device normalization regimes for uint8 video input (see patchify)
+_UINT8_NORM = NORM_STATS
 
 
 def _trunc_normal(std: float):

@@ -77,11 +77,10 @@ def _group_ids(idx: jax.Array, axis: str, n_patches: int) -> jax.Array:
     return (idx - 1) % n_patches
 
 
-def _mask_bias(lo: int, bq: int, s: int, axis: str, n_patches: int,
-               c0: int = 0):
-    """Group-mask bias for query rows [lo, lo+bq) x key cols [c0, c0+s)."""
+def _mask_bias(lo: int, bq: int, s: int, axis: str, n_patches: int):
+    """Group-mask bias for query rows [lo, lo+bq) x key cols [0, s)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + lo
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1) + c0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
     allowed = (rows == 0) | (cols == 0) | (
         _group_ids(rows, axis, n_patches) == _group_ids(cols, axis, n_patches)
     )
@@ -1173,6 +1172,11 @@ def divided_attention(
     if impl != "pallas":
         return _divided_xla(qkv, scale, axis, num_frames)
     b, s, _, h, dh = qkv.shape
+    if s < 16:
+        # degenerate tiny sequences (e.g. 2x2-patch unit-test shapes): the
+        # kernels' 8-row CLS block and tile minima assume S >= 16; every
+        # real workload has S >= 197 (one 14x14 frame + CLS)
+        return _divided_xla(qkv, scale, axis, num_frames)
     long_s = s > _PACKED_MAX_S
     budget_fwd = _LONG_BUDGET if long_s else 2_500_000
     budget_bwd = _LONG_BUDGET if long_s else _BWD_BUDGET

@@ -73,10 +73,24 @@ def launch_workers(nproc: int, devices_per_process: int = 4, steps: int = 2,
         procs.append(subprocess.Popen(
             cmd, env=env, cwd=repo_root, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        logs.append(out)
+    logs = [None] * nproc
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=timeout)
+            logs[i] = out
+    except subprocess.TimeoutExpired:
+        # one hung child (e.g. a rendezvous stall) must not leak its
+        # siblings — they would block on the coordinator forever
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for i, p in enumerate(procs):
+            if logs[i] is None:
+                out, _ = p.communicate()
+                logs[i] = out
+        raise RuntimeError(
+            f"mp_worker child hung past {timeout}s:\n"
+            + "\n---\n".join(l or "" for l in logs))
     if any(p.returncode != 0 for p in procs):
         raise RuntimeError(
             "mp_worker child failed:\n" + "\n---\n".join(logs))

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from egovlpv2_tpu.core.config import NORM_STATS
 from egovlpv2_tpu.models.egovlp import EgoVLPv2
 
 
@@ -42,11 +43,7 @@ def window_frames(frames: np.ndarray, num_frames: int) -> np.ndarray:
     return frames.reshape(n_win, num_frames, *frames.shape[1:])
 
 
-_DEVICE_NORM = {
-    # (mean, std, input_scale): x.astype(f32) * scale, then (x - mean) / std
-    "imagenet": ([0.485, 0.456, 0.406], [0.229, 0.224, 0.225], 1.0 / 255.0),
-    "epic": ([123.675, 116.28, 103.53], [58.395, 57.12, 57.375], 1.0),
-}
+_DEVICE_NORM = NORM_STATS
 
 
 class FeatureExtractor:

@@ -240,6 +240,12 @@ def run_egotaskqa(
     )
     from egovlpv2_tpu.train.step import TrainState
 
+    if test_only and not save_dir:
+        # without a checkpoint to restore, "evaluation" would silently score
+        # randomly-initialized QA-head weights and report it as a result
+        raise ValueError("test_only requires save_dir (the checkpoint "
+                         "directory to evaluate)")
+
     model = make_qa_model(backbone_cfg, num_answers)
     steps_per_epoch = max(len(train_items) // batch_size, 1)
     total_steps = max(epochs * steps_per_epoch, 1)

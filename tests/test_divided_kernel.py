@@ -283,3 +283,20 @@ def test_gradients_long_sequence_flat_bwd(monkeypatch):
         got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("axis", ["space", "time"])
+def test_degenerate_tiny_s_falls_back(axis):
+    """S < 16 (e.g. 2 frames x 2 patches, S=5) has no kernel tile: the
+    kernels' 8-row CLS block assumes S >= 16, so the pallas impl must route
+    these shapes to the XLA path instead of aborting at trace time."""
+    b, f, n, h, dh = 1, 2, 2, 2, 64
+    s = 1 + f * n
+    rs = np.random.RandomState(0)
+    qkv = _qkv(rs, b, s, h, dh)
+    out = divided_attention(qkv, scale=dh ** -0.5, axis=axis,
+                            num_frames=f, impl="pallas")
+    ref = divided_attention(qkv, scale=dh ** -0.5, axis=axis,
+                            num_frames=f, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

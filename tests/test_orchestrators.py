@@ -134,3 +134,14 @@ def test_run_qfvs_end_to_end(tmp_path):
     shots_tag = (rs.rand(4, 3) > 0.5).astype(np.float32)
     metrics = run_qfvs(ds, test_items, shots_tag, epochs=1)
     assert "F1" in metrics and np.isfinite(metrics["F1"])
+
+
+def test_run_egotaskqa_test_only_requires_save_dir():
+    """Without a checkpoint to restore, test_only would silently evaluate
+    randomly-initialized weights and report the metrics as real."""
+    import pytest
+
+    from egovlpv2_tpu.tasks.orchestrators import run_egotaskqa
+
+    with pytest.raises(ValueError, match="test_only"):
+        run_egotaskqa(None, [], [], num_answers=3, test_only=True)
