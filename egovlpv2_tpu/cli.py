@@ -212,10 +212,15 @@ def cmd_pretrain(args):
     from egovlpv2_tpu.train.checkpoint import CheckpointManager
     from egovlpv2_tpu.utils.logging import StatsWriter, Throughput, setup_logging
 
-    log = setup_logging(args.save_dir)
+    from egovlpv2_tpu.parallel.distributed import is_main_process
+
+    # rank-0-only file outputs: on a pod every host runs this command
+    # against a shared save_dir (reference: rank-0 logging in trainer/)
+    log = setup_logging(args.save_dir if is_main_process() else None)
     cfg = load_train_config(args.config, args.set)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    stats = StatsWriter(args.save_dir) if args.save_dir else None
+    stats = (StatsWriter(args.save_dir)
+             if args.save_dir and is_main_process() else None)
     ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None
     monitor = Monitor(args.monitor, args.early_stop) if args.monitor else None
     # each process feeds shard_batch its own global//process_count slice
@@ -399,7 +404,9 @@ def _run_dual_ft(args, dataset_name: str):
     from egovlpv2_tpu.train.step import TrainState
     from egovlpv2_tpu.utils.logging import StatsWriter, Throughput, setup_logging
 
-    log = setup_logging(args.save_dir)
+    from egovlpv2_tpu.parallel.distributed import is_main_process
+
+    log = setup_logging(args.save_dir if is_main_process() else None)
     cfg = load_train_config(args.config, args.set)
     # retrieval fine-tunes use the small projections + Dual loss
     loss_type = "AdaptiveMaxMargin" if dataset_name == "epic" else "NormSoftmax"
@@ -423,7 +430,8 @@ def _run_dual_ft(args, dataset_name: str):
     model = EgoVLPv2(cfg.model)
     params = _load_params(model, cfg, args.ckpt)
     tx = make_optimizer(cfg.optim, params)
-    stats = StatsWriter(args.save_dir) if args.save_dir else None
+    stats = (StatsWriter(args.save_dir)
+             if args.save_dir and is_main_process() else None)
     ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None
 
     tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
@@ -772,6 +780,17 @@ def _add_common(p, with_data=True):
     p.add_argument("--config", default=None)
     p.add_argument("--set", nargs="*", default=[], help="dotted.key=value")
     p.add_argument("--tokenizer", default="roberta-base")
+    # multi-host SPMD (reference: torch.distributed multinode_train_*.py;
+    # here one CLI process per host, rendezvous via jax.distributed).
+    # --multihost alone auto-discovers everything on Cloud TPU pods; the
+    # explicit triple supports SLURM-style launches.
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before touching devices "
+                        "(auto-discovers on Cloud TPU pods)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (implies --multihost)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     if with_data:
         p.add_argument("--meta", default=None)
         p.add_argument("--data", default=None)
@@ -920,6 +939,16 @@ def main(argv=None):
     q.set_defaults(fn=cmd_qfvs)
 
     args = parser.parse_args(argv)
+    if getattr(args, "multihost", False) or getattr(args, "coordinator", None):
+        # must run before any command initializes the jax backend
+        from egovlpv2_tpu.parallel.distributed import initialize_multihost
+
+        os.environ.setdefault("JAX_MULTIHOST", "1")
+        topo = initialize_multihost(args.coordinator, args.num_processes,
+                                    args.process_id)
+        print(f"# multihost: process {topo['process_index']}/"
+              f"{topo['process_count']}, {topo['local_devices']} local / "
+              f"{topo['global_devices']} global devices", flush=True)
     args.fn(args)
 
 

@@ -48,3 +48,85 @@ def test_two_process_matches_single_process(two_proc_results):
 
 def test_two_process_checkpoint_roundtrip(two_proc_results):
     assert all(r.get("ckpt_roundtrip") for r in two_proc_results)
+
+
+def test_cli_multihost_pretrain(tmp_path):
+    """The production CLI under 2 real processes: `egovlpv2-tpu pretrain
+    --coordinator ... --num_processes 2 --process_id i` on each "host"
+    (4 virtual CPU devices apiece), shared save_dir. Verifies the new
+    --multihost plumbing end to end: rendezvous before backend init, the
+    per-process batch slicing inside cmd_pretrain's synthetic feed, the
+    collective orbax checkpoint, and rank-0-only stats/log files."""
+    import ast
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from egovlpv2_tpu.parallel.mp_worker import free_port
+    from tests.test_cli import TINY
+
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY))
+    save = tmp_path / "run"
+    port = free_port()
+
+    child = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/egovlpv2_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from egovlpv2_tpu.cli import main
+main(sys.argv[1:])
+"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    def spawn(pid):
+        argv = ["pretrain", "--config", str(cfg_path), "--synthetic",
+                "--steps_per_epoch", "2", "--epochs", "1",
+                "--save_dir", str(save), "--ckpt_every", "2",
+                "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid)]
+        return subprocess.Popen([sys.executable, "-c", child] + argv,
+                                env=env, cwd=repo_root,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    procs = [spawn(0), spawn(1)]
+    logs = [None, None]
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=900)
+            logs[i] = out
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(
+        l or "" for l in logs)
+
+    def losses(text):
+        out = []
+        for line in text.splitlines():
+            if ": step " in line or line.startswith("step "):
+                _, _, tail = line.partition("step ")
+                num, _, d = tail.partition(": ")
+                if d.startswith("{"):
+                    out.append(ast.literal_eval(d)["loss_total"])
+        return out
+
+    l0, l1 = losses(logs[0]), losses(logs[1])
+    assert len(l0) == 2 and l0 == l1, (l0, l1)
+    assert "# multihost: process 0/2" in logs[0] + logs[1]
+    assert "# multihost: process 1/2" in logs[0] + logs[1]
+    # rank-0-only file outputs, collective checkpoint present
+    assert (save / "stats.txt").exists() and (save / "info.log").exists()
+    assert (save / "ckpt").exists()
