@@ -52,6 +52,15 @@ def _devices_with_retry(attempts: int = 5, wait_s: float = 60.0,
         except subprocess.TimeoutExpired:
             last = f"probe exceeded {attempt_timeout_s}s (tunnel down?)"
         if i == attempts - 1:
+            # Emit a parseable record of the outage before raising so the
+            # driver's bench log captures the cause, not just a traceback.
+            print(json.dumps({
+                "metric": "pretrain_clips_per_sec_per_chip",
+                "value": None,
+                "unit": "clips/s/chip",
+                "vs_baseline": None,
+                "error": f"TPU backend unavailable: {last}",
+            }), flush=True)
             raise RuntimeError(f"TPU backend unavailable: {last}")
         print(f"# backend probe failed ({last}); retry {i + 1}/{attempts}",
               flush=True)

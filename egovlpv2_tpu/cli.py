@@ -152,6 +152,20 @@ class Monitor:
     def should_stop(self) -> bool:
         return self.early_stop > 0 and self.not_improved >= self.early_stop
 
+    def state_dict(self) -> Dict[str, Any]:
+        return {"mode": self.mode, "key": self.key, "best": self.best,
+                "not_improved": self.not_improved}
+
+    def load_state_dict(self, state: Dict[str, Any]) -> bool:
+        """Restore best/early-stop progress saved alongside a checkpoint
+        (reference persists monitor_best per save, base_trainer.py:412-436).
+        Ignored (returns False) when the monitored metric changed."""
+        if state.get("mode") != self.mode or state.get("key") != self.key:
+            return False
+        self.best = state.get("best")
+        self.not_improved = int(state.get("not_improved", 0))
+        return True
+
 
 def _make_egomcq_batches(args, cfg, tokenizer_name: str, batch_size: int = 4):
     """Returns callable(epoch) -> iterator of egomcq eval batches
@@ -210,7 +224,8 @@ def cmd_pretrain(args):
     )
     from egovlpv2_tpu.tasks.pretrain import build_pretrain, synthetic_batch
     from egovlpv2_tpu.train.checkpoint import CheckpointManager
-    from egovlpv2_tpu.utils.logging import StatsWriter, Throughput, setup_logging
+    from egovlpv2_tpu.utils.logging import (MetricsPipeline, StatsWriter,
+                                             Throughput, setup_logging)
 
     from egovlpv2_tpu.parallel.distributed import is_main_process
 
@@ -285,6 +300,7 @@ def cmd_pretrain(args):
         state, step_fn = init_state(
             synthetic_batch(cfg, cfg.global_batch_size), seed=cfg.seed
         )
+        start_epoch = 0
         if ckpt and args.resume:
             restored = ckpt.restore(host_state(state))
             if restored is not None:
@@ -292,24 +308,48 @@ def cmd_pretrain(args):
 
                 # restored arrays land on one device; re-place on the mesh
                 state = replicate(restored, mesh)
-                log.info("resumed from step %d", int(state.step))
+                # continue after the last completed epoch (base_trainer.py:
+                # 438-495 resumes at checkpoint_epoch + 1)
+                last = ckpt.last_epoch()
+                start_epoch = last + 1 if last is not None else 0
+                log.info("resumed from step %d (epoch %d)",
+                         int(state.step), start_epoch)
+                if monitor:
+                    ms = ckpt.monitor_state()
+                    if ms and monitor.load_state_dict(ms):
+                        log.info("restored monitor: best %s=%s (%d stale)",
+                                 monitor.key, monitor.best,
+                                 monitor.not_improved)
 
         tp = Throughput(cfg.global_batch_size)
+        pipe = MetricsPipeline()
         step = int(state.step)
-        for epoch in range(args.epochs):
+
+        def handle(ready):
+            # `ready` is the PREVIOUS step's metrics, fetched after the
+            # current step was dispatched (bounded queue depth 2, RTT
+            # hidden behind device compute — same discipline as bench.py)
+            if not ready:
+                return None
+            rstep, m = ready
+            rates = tp.tick()
+            if rstep % args.log_every == 0:
+                full = {**m, **rates}
+                log.info("step %d: %s", rstep,
+                         {k: round(v, 4) for k, v in full.items()})
+                if stats:
+                    stats.write(rstep, full)
+            return m
+
+        for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
                 step += 1
-                if step % args.log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m.update(tp.tick())
-                    log.info("step %d: %s", step,
-                             {k: round(v, 4) for k, v in m.items()})
-                    if stats:
-                        stats.write(step, m)
+                handle(pipe.push(step, metrics))
                 if ckpt and step % args.ckpt_every == 0:
                     ckpt.save(step, host_state(state))
-            epoch_metrics = {k: float(v) for k, v in metrics.items()}
+            # drain the in-flight step so epoch metrics are the last step's
+            epoch_metrics = handle(pipe.flush()) or {}
             if val_batches is not None:
                 val = evaluate_egomcq(eval_step, state.params, val_batches(epoch))
                 epoch_metrics.update(val)
@@ -320,7 +360,9 @@ def cmd_pretrain(args):
             is_best = monitor.update(epoch_metrics) if monitor else False
             if ckpt:
                 ckpt.save(step, host_state(state), metrics=epoch_metrics,
-                          is_best=is_best)
+                          is_best=is_best, epoch=epoch)
+                if monitor:
+                    ckpt.save_monitor(monitor.state_dict())
             if monitor and monitor.should_stop:
                 log.info("early stop at epoch %d (no improvement in %d epochs, "
                          "best %s=%.4f)", epoch, monitor.not_improved,
@@ -402,7 +444,8 @@ def _run_dual_ft(args, dataset_name: str):
     from egovlpv2_tpu.train.checkpoint import CheckpointManager
     from egovlpv2_tpu.train.optimizer import make_optimizer
     from egovlpv2_tpu.train.step import TrainState
-    from egovlpv2_tpu.utils.logging import StatsWriter, Throughput, setup_logging
+    from egovlpv2_tpu.utils.logging import (MetricsPipeline, StatsWriter,
+                                             Throughput, setup_logging)
 
     from egovlpv2_tpu.parallel.distributed import is_main_process
 
@@ -505,19 +548,41 @@ def _run_dual_ft(args, dataset_name: str):
         state = TrainState(params, tx.init(params),
                            jax.numpy.zeros((), jax.numpy.int32),
                            jax.random.PRNGKey(cfg.seed))
+        start_epoch = 0
+        if ckpt and getattr(args, "resume", False):
+            restored = ckpt.restore(host_state(state))
+            if restored is not None:
+                from egovlpv2_tpu.parallel.mesh import replicate
+
+                state = replicate(restored, mesh)
+                last = ckpt.last_epoch()
+                start_epoch = last + 1 if last is not None else 0
+                log.info("resumed from step %d (epoch %d)",
+                         int(state.step), start_epoch)
         tp = Throughput(cfg.global_batch_size)
-        step = 0
-        for epoch in range(args.epochs):
+        pipe = MetricsPipeline()
+        step = int(state.step)
+
+        def handle(ready):
+            # previous step's metrics, fetched after dispatching the
+            # current one (see cmd_pretrain / bench.py)
+            if not ready:
+                return
+            rstep, m = ready
+            rates = tp.tick()
+            if rstep % args.log_every == 0:
+                full = {**m, **rates}
+                log.info("step %d: %s", rstep,
+                         {k: round(v, 4) for k, v in full.items()})
+                if stats:
+                    stats.write(rstep, full)
+
+        for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
                 step += 1
-                if step % args.log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    m.update(tp.tick())
-                    log.info("step %d: %s", step,
-                             {k: round(v, 4) for k, v in m.items()})
-                    if stats:
-                        stats.write(step, m)
+                handle(pipe.push(step, metrics))
+            handle(pipe.flush())
             if run_val is not None:
                 val = run_val(state.params)
                 log.info("epoch %d val: %s", epoch,
@@ -525,7 +590,7 @@ def _run_dual_ft(args, dataset_name: str):
                 if stats:
                     stats.write(step, {f"val_{k}": v for k, v in val.items()})
             if ckpt:
-                ckpt.save(step, host_state(state))
+                ckpt.save(step, host_state(state), epoch=epoch)
         if ckpt:
             ckpt.wait()
     log.info("done at step %d", step)
@@ -868,6 +933,9 @@ def main(argv=None):
                        help="charades: 157 class prompts, one per line")
         f.add_argument("--sliding_window_stride", type=int, default=-1,
                        help="test-time window expansion stride (-1 = off)")
+        f.add_argument("--resume", action="store_true",
+                       help="continue from the latest checkpoint in "
+                            "save_dir/ckpt (optimizer state + epoch)")
         f.set_defaults(fn=fn)
 
     b = sub.add_parser("bench")

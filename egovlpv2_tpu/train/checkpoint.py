@@ -29,7 +29,7 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state, metrics: Optional[dict] = None,
-             is_best: bool = False):
+             is_best: bool = False, epoch: Optional[int] = None):
         # multi-process: every process must call save (orbax coordinates the
         # collective write of global arrays); sidecar json is process-0 only
         self._mngr.save(step, args=ocp.args.StandardSave(state))
@@ -41,6 +41,20 @@ class CheckpointManager:
         if is_best:
             with open(os.path.join(self._dir, "best_step.json"), "w") as f:
                 json.dump({"step": int(step)}, f)
+        if epoch is not None:
+            # epoch-granular progress: a resumed run continues at epoch+1
+            # (reference stores `epoch` in every .pth and restarts from
+            # checkpoint_epoch + 1, base_trainer.py:412-436,438-495)
+            with open(os.path.join(self._dir, "progress.json"), "w") as f:
+                json.dump({"epoch": int(epoch), "step": int(step)}, f)
+
+    def last_epoch(self) -> Optional[int]:
+        """Last COMPLETED epoch recorded by save(..., epoch=), or None."""
+        path = os.path.join(self._dir, "progress.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["epoch"]
+        return None
 
     def restore(self, state_template, step: Optional[int] = None):
         if step is None:
@@ -72,6 +86,22 @@ class CheckpointManager:
             return raw["params"]
         # NamedTuple saved as a sequence: params is field 0
         return raw[0]
+
+    def save_monitor(self, monitor_state: dict):
+        """Persist monitored-metric progress (best value, early-stop counter)
+        so a resumed run cannot regress the 'best' pointer. Reference parity:
+        monitor_best is part of every saved .pth (base_trainer.py:412-436)."""
+        if jax.process_index() != 0:
+            return
+        with open(os.path.join(self._dir, "monitor.json"), "w") as f:
+            json.dump(monitor_state, f)
+
+    def monitor_state(self) -> Optional[dict]:
+        path = os.path.join(self._dir, "monitor.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None
 
     def best_step(self) -> Optional[int]:
         path = os.path.join(self._dir, "best_step.json")

@@ -54,6 +54,32 @@ def test_pretrain_with_val_monitor_and_early_stop(tiny_config, tmp_path):
     assert (save / "ckpt" / "best_step.json").exists()
     stats = (save / "stats.txt").read_text().strip().splitlines()
     assert any("val_vtc/Inter-video" in line for line in stats)
+    # monitor progress persisted alongside the checkpoint (reference keeps
+    # monitor_best in every .pth, base_trainer.py:412-436)
+    mon = json.loads((save / "ckpt" / "monitor.json").read_text())
+    assert mon["key"] == "vtc/Inter-video" and mon["best"] is not None
+
+
+def test_pretrain_resume_restores_monitor(tiny_config, tmp_path):
+    save = tmp_path / "run_resume"
+    common = [
+        "pretrain", "--config", tiny_config, "--synthetic",
+        "--steps_per_epoch", "2", "--save_dir", str(save),
+        "--val_synthetic", "--val_batches", "1", "--val_vtc_only",
+        "--monitor", "max:vtc/Inter-video", "--ckpt_every", "100",
+    ]
+    cli.main(common + ["--epochs", "1"])
+    first = json.loads((save / "ckpt" / "monitor.json").read_text())
+    assert json.loads((save / "ckpt" / "progress.json").read_text())["epoch"] == 0
+    # resume continues at epoch 1 (epoch-granular, base_trainer.py:438-495)
+    cli.main(common + ["--epochs", "2", "--resume"])
+    log_text = (save / "info.log").read_text()
+    assert "restored monitor" in log_text
+    assert "resumed from step 2 (epoch 1)" in log_text
+    # the restored best survives: a resumed epoch can only raise it
+    second = json.loads((save / "ckpt" / "monitor.json").read_text())
+    assert second["best"] >= first["best"]
+    assert json.loads((save / "ckpt" / "progress.json").read_text())["epoch"] == 1
 
 
 def test_egomcq_synthetic(tiny_config, tmp_path, capsys):
@@ -138,6 +164,20 @@ def test_dual_finetune_synthetic(tiny_config, name):
         name, "--config", tiny_config, "--synthetic",
         "--epochs", "1", "--steps_per_epoch", "2",
     ])
+
+
+def test_dual_finetune_resume(tiny_config, tmp_path):
+    """Fine-tunes resume with optimizer state + epoch, like pretrain
+    (the reference shares base_trainer resume across all trainers)."""
+    save = tmp_path / "ft"
+    common = ["ft-charades", "--config", tiny_config, "--synthetic",
+              "--steps_per_epoch", "2", "--save_dir", str(save)]
+    cli.main(common + ["--epochs", "1"])
+    assert json.loads((save / "ckpt" / "progress.json").read_text())["epoch"] == 0
+    cli.main(common + ["--epochs", "2", "--resume"])
+    log_text = (save / "info.log").read_text()
+    assert "resumed from step 2 (epoch 1)" in log_text
+    assert json.loads((save / "ckpt" / "progress.json").read_text())["epoch"] == 1
 
 
 @pytest.mark.parametrize("device_norm", [False, True],

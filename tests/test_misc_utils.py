@@ -5,7 +5,7 @@ import os
 
 import numpy as np
 
-from egovlpv2_tpu.utils.logging import StatsWriter, Throughput
+from egovlpv2_tpu.utils.logging import MetricsPipeline, StatsWriter, Throughput
 from egovlpv2_tpu.utils.visualizer import RetrievalVisualizer
 
 
@@ -39,3 +39,35 @@ def test_throughput_meter():
     assert tp.tick() == {}
     out = tp.tick()
     assert out["items_per_sec"] > 0
+
+
+def test_monitor_state_roundtrip(tmp_path):
+    """Monitor best/early-stop progress persists across a resume."""
+    from egovlpv2_tpu.cli import Monitor
+    from egovlpv2_tpu.train.checkpoint import CheckpointManager
+
+    m = Monitor("max:acc", early_stop=3)
+    assert m.update({"acc": 0.5})
+    assert not m.update({"acc": 0.4})
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    ckpt.save_monitor(m.state_dict())
+    m2 = Monitor("max:acc", early_stop=3)
+    assert m2.load_state_dict(ckpt.monitor_state())
+    assert m2.best == 0.5 and m2.not_improved == 1
+    # a differently-monitored run ignores the stale state
+    m3 = Monitor("min:loss")
+    assert not m3.load_state_dict(ckpt.monitor_state())
+    ckpt.close()
+
+
+def test_metrics_pipeline_depth1():
+    """push(i) returns step i-1's metrics as floats; flush drains."""
+    pipe = MetricsPipeline()
+    assert pipe.push(1, {"loss": np.float32(2.0)}) is None
+    step, m = pipe.push(2, {"loss": np.float32(1.5)})
+    assert step == 1 and m == {"loss": 2.0} and isinstance(m["loss"], float)
+    step, m = pipe.flush()
+    assert step == 2 and m == {"loss": 1.5}
+    # drained: nothing in flight
+    assert pipe.flush() is None
+    assert pipe.push(3, {"loss": 1.0}) is None
