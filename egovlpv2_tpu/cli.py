@@ -117,6 +117,21 @@ def _load_params(model, cfg, ckpt_path: Optional[str], seed: int = 0):
     return params
 
 
+def _save_resolved_config(cfg, save_dir: Optional[str]):
+    """Write the fully-resolved config into save_dir for reproducibility
+    (reference: ConfigParser writes the resolved JSON on every run with a
+    save dir, parse_config.py:62-89). Process-0 only."""
+    if not save_dir:
+        return
+    from egovlpv2_tpu.parallel.distributed import is_main_process
+
+    if not is_main_process():
+        return
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
 class Monitor:
     """Monitored-metric best tracking + early stop
     (base_trainer.py:284-292,366-388): spec 'max:key' or 'min:key'."""
@@ -234,6 +249,7 @@ def cmd_pretrain(args):
     log = setup_logging(args.save_dir if is_main_process() else None)
     cfg = load_train_config(args.config, args.set)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    _save_resolved_config(cfg, args.save_dir)
     stats = (StatsWriter(args.save_dir)
              if args.save_dir and is_main_process() else None)
     ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None
@@ -473,6 +489,7 @@ def _run_dual_ft(args, dataset_name: str):
     model = EgoVLPv2(cfg.model)
     params = _load_params(model, cfg, args.ckpt)
     tx = make_optimizer(cfg.optim, params)
+    _save_resolved_config(cfg, args.save_dir)
     stats = (StatsWriter(args.save_dir)
              if args.save_dir and is_main_process() else None)
     ckpt = CheckpointManager(f"{args.save_dir}/ckpt") if args.save_dir else None

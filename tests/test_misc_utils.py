@@ -41,6 +41,17 @@ def test_throughput_meter():
     assert out["items_per_sec"] > 0
 
 
+def test_save_resolved_config(tmp_path):
+    """Training runs record the fully-resolved config (parse_config.py:62-89)."""
+    from egovlpv2_tpu.cli import _save_resolved_config, load_train_config
+
+    cfg = load_train_config()
+    _save_resolved_config(cfg, str(tmp_path))
+    data = json.loads((tmp_path / "config.json").read_text())
+    assert data["global_batch_size"] == cfg.global_batch_size
+    assert data["model"]["video"]["num_frames"] == cfg.model.video.num_frames
+
+
 def test_monitor_state_roundtrip(tmp_path):
     """Monitor best/early-stop progress persists across a resume."""
     from egovlpv2_tpu.cli import Monitor
