@@ -242,7 +242,8 @@ def cmd_pretrain(args):
     from egovlpv2_tpu.utils.logging import (MetricsPipeline, StatsWriter,
                                              Throughput, setup_logging)
 
-    from egovlpv2_tpu.parallel.distributed import is_main_process
+    from egovlpv2_tpu.parallel.distributed import (PreemptionGuard,
+                                                     is_main_process)
 
     # rank-0-only file outputs: on a pod every host runs this command
     # against a shared save_dir (reference: rank-0 logging in trainer/)
@@ -357,6 +358,10 @@ def cmd_pretrain(args):
                     stats.write(rstep, full)
             return m
 
+        # preemption safety: poll the SIGTERM flag per step and save from
+        # loop context (all pod hosts receive SIGTERM together, so the
+        # collective orbax save below stays collective)
+        guard = PreemptionGuard()
         for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
@@ -364,6 +369,17 @@ def cmd_pretrain(args):
                 handle(pipe.push(step, metrics))
                 if ckpt and step % args.ckpt_every == 0:
                     ckpt.save(step, host_state(state))
+                if guard.preempted:
+                    if ckpt:
+                        # this epoch is incomplete: resume replays it
+                        # (skip if the periodic save above already wrote it)
+                        if ckpt.latest_step() != step:
+                            ckpt.save(step, host_state(state), epoch=epoch - 1)
+                        ckpt.wait()
+                    log.info("preempted (SIGTERM): saved at step %d, exiting",
+                             step)
+                    guard.restore()
+                    return
             # drain the in-flight step so epoch metrics are the last step's
             epoch_metrics = handle(pipe.flush()) or {}
             if val_batches is not None:
@@ -384,6 +400,7 @@ def cmd_pretrain(args):
                          "best %s=%.4f)", epoch, monitor.not_improved,
                          monitor.key, monitor.best)
                 break
+        guard.restore()
         if ckpt:
             ckpt.wait()
     log.info("done at step %d", step)
@@ -463,7 +480,8 @@ def _run_dual_ft(args, dataset_name: str):
     from egovlpv2_tpu.utils.logging import (MetricsPipeline, StatsWriter,
                                              Throughput, setup_logging)
 
-    from egovlpv2_tpu.parallel.distributed import is_main_process
+    from egovlpv2_tpu.parallel.distributed import (PreemptionGuard,
+                                                     is_main_process)
 
     log = setup_logging(args.save_dir if is_main_process() else None)
     cfg = load_train_config(args.config, args.set)
@@ -594,11 +612,20 @@ def _run_dual_ft(args, dataset_name: str):
                 if stats:
                     stats.write(rstep, full)
 
+        guard = PreemptionGuard()
         for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
                 step += 1
                 handle(pipe.push(step, metrics))
+                if guard.preempted:
+                    if ckpt:
+                        ckpt.save(step, host_state(state), epoch=epoch - 1)
+                        ckpt.wait()
+                    log.info("preempted (SIGTERM): saved at step %d, exiting",
+                             step)
+                    guard.restore()
+                    return
             handle(pipe.flush())
             if run_val is not None:
                 val = run_val(state.params)
@@ -608,6 +635,7 @@ def _run_dual_ft(args, dataset_name: str):
                     stats.write(step, {f"val_{k}": v for k, v in val.items()})
             if ckpt:
                 ckpt.save(step, host_state(state), epoch=epoch)
+        guard.restore()
         if ckpt:
             ckpt.wait()
     log.info("done at step %d", step)

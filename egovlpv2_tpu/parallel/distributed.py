@@ -47,10 +47,16 @@ def is_main_process() -> bool:
 
 
 class PreemptionGuard:
-    """Run `on_preempt()` once when SIGTERM arrives (replaces the reference's
-    SIGUSR1 -> scontrol requeue flow with save-before-death)."""
+    """SIGTERM-aware preemption flag (replaces the reference's SIGUSR1 ->
+    scontrol requeue flow, multinode_train_egoclip.py:56-61, with
+    save-before-death).
 
-    def __init__(self, on_preempt: Callable[[], None]):
+    The handler only sets a flag (and runs the optional `on_preempt`
+    callback); training loops poll `guard.preempted` once per step and do
+    the final checkpoint save from loop context — orbax's async save is
+    not reentrant from a signal handler."""
+
+    def __init__(self, on_preempt: Optional[Callable[[], None]] = None):
         self._fired = threading.Event()
         self._cb = on_preempt
         self._prev = signal.signal(signal.SIGTERM, self._handler)
@@ -58,12 +64,15 @@ class PreemptionGuard:
     def _handler(self, signum, frame):
         if not self._fired.is_set():
             self._fired.set()
-            try:
+            if self._cb is not None:
                 self._cb()
-            finally:
-                if callable(self._prev):
-                    self._prev(signum, frame)
 
     @property
     def preempted(self) -> bool:
         return self._fired.is_set()
+
+    def restore(self):
+        """Reinstate the previous SIGTERM handler (call on clean exit)."""
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._prev = None

@@ -126,7 +126,9 @@ def main(argv=None) -> None:
     jax.config.update("jax_platforms", "cpu")
     # deterministic f32 matmuls so nproc=1 and nproc=2 losses are comparable
     jax.config.update("jax_default_matmul_precision", "highest")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/egovlpv2_tpu_jax_cache")
+    from egovlpv2_tpu.utils.compile_cache import ensure_cache
+    jax.config.update("jax_compilation_cache_dir",
+                      ensure_cache("/tmp/egovlpv2_tpu_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -25,6 +25,8 @@ jax.config.update("jax_platforms", "cpu")
 # Reduced-precision matmul defaults (~4e-3 abs error) would drown parity
 # tests — force full f32 so they measure math, not hardware.
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/egovlpv2_tpu_jax_cache")
+from egovlpv2_tpu.utils.compile_cache import ensure_cache
+jax.config.update("jax_compilation_cache_dir",
+                  ensure_cache("/tmp/egovlpv2_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -41,6 +41,31 @@ def test_throughput_meter():
     assert out["items_per_sec"] > 0
 
 
+def test_compile_cache_host_guard(tmp_path):
+    """Cache entries from a different host are wiped; same-host kept."""
+    from egovlpv2_tpu.utils import compile_cache as cc
+
+    d = str(tmp_path / "cache")
+    assert cc.ensure_cache(d) == d
+    (tmp_path / "cache" / "entry.bin").write_bytes(b"x")
+    # same host: entry survives
+    cc.ensure_cache(d)
+    assert (tmp_path / "cache" / "entry.bin").exists()
+    # stamp from another host: directory is wiped and re-stamped
+    (tmp_path / "cache" / "host_signature.json").write_text(
+        json.dumps({"signature": "deadbeefdeadbeef"}))
+    cc.ensure_cache(d)
+    assert not (tmp_path / "cache" / "entry.bin").exists()
+    assert json.loads(
+        (tmp_path / "cache" / "host_signature.json").read_text()
+    )["signature"] == cc._host_signature()
+    # unstamped non-empty directory (unknown provenance): also wiped
+    (tmp_path / "cache" / "host_signature.json").unlink()
+    (tmp_path / "cache" / "orphan.bin").write_bytes(b"x")
+    cc.ensure_cache(d)
+    assert not (tmp_path / "cache" / "orphan.bin").exists()
+
+
 def test_save_resolved_config(tmp_path):
     """Training runs record the fully-resolved config (parse_config.py:62-89)."""
     from egovlpv2_tpu.cli import _save_resolved_config, load_train_config

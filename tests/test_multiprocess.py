@@ -50,28 +50,7 @@ def test_two_process_checkpoint_roundtrip(two_proc_results):
     assert all(r.get("ckpt_roundtrip") for r in two_proc_results)
 
 
-def test_cli_multihost_pretrain(tmp_path):
-    """The production CLI under 2 real processes: `egovlpv2-tpu pretrain
-    --coordinator ... --num_processes 2 --process_id i` on each "host"
-    (4 virtual CPU devices apiece), shared save_dir. Verifies the new
-    --multihost plumbing end to end: rendezvous before backend init, the
-    per-process batch slicing inside cmd_pretrain's synthetic feed, the
-    collective orbax checkpoint, and rank-0-only stats/log files."""
-    import ast
-    import json
-    import os
-    import subprocess
-    import sys
-
-    from egovlpv2_tpu.parallel.mp_worker import free_port
-    from tests.test_cli import TINY
-
-    cfg_path = tmp_path / "tiny.json"
-    cfg_path.write_text(json.dumps(TINY))
-    save = tmp_path / "run"
-    port = free_port()
-
-    child = """
+_CLI_CHILD = """
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
@@ -83,24 +62,42 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 from egovlpv2_tpu.cli import main
 main(sys.argv[1:])
 """
+
+
+def _run_cli_multihost(tmp_path, subcmd_argv, nproc=2, loss_key="loss_total"):
+    """Launch the production CLI under `nproc` real processes (4 virtual CPU
+    devices apiece) rendezvousing on a localhost coordinator; returns the
+    per-process logged loss sequences and the raw logs."""
+    import ast
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from egovlpv2_tpu.parallel.mp_worker import free_port
+    from tests.test_cli import TINY
+
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY))
+    port = free_port()
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
 
     def spawn(pid):
-        argv = ["pretrain", "--config", str(cfg_path), "--synthetic",
-                "--steps_per_epoch", "2", "--epochs", "1",
-                "--save_dir", str(save), "--ckpt_every", "2",
-                "--coordinator", f"localhost:{port}",
-                "--num_processes", "2", "--process_id", str(pid)]
-        return subprocess.Popen([sys.executable, "-c", child] + argv,
+        argv = subcmd_argv + [
+            "--config", str(cfg_path),
+            "--coordinator", f"localhost:{port}",
+            "--num_processes", str(nproc), "--process_id", str(pid)]
+        return subprocess.Popen([sys.executable, "-c", _CLI_CHILD] + argv,
                                 env=env, cwd=repo_root,
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.STDOUT, text=True)
 
-    procs = [spawn(0), spawn(1)]
-    logs = [None, None]
+    procs = [spawn(i) for i in range(nproc)]
+    logs = [None] * nproc
     try:
         for i, p in enumerate(procs):
             out, _ = p.communicate(timeout=900)
@@ -120,13 +117,39 @@ main(sys.argv[1:])
                 _, _, tail = line.partition("step ")
                 num, _, d = tail.partition(": ")
                 if d.startswith("{"):
-                    out.append(ast.literal_eval(d)["loss_total"])
+                    out.append(ast.literal_eval(d)[loss_key])
         return out
 
-    l0, l1 = losses(logs[0]), losses(logs[1])
+    return [losses(l) for l in logs], logs
+
+
+def test_cli_multihost_pretrain(tmp_path):
+    """The production CLI under 2 real processes: `egovlpv2-tpu pretrain
+    --coordinator ... --num_processes 2 --process_id i` on each "host"
+    (4 virtual CPU devices apiece), shared save_dir. Verifies the
+    --multihost plumbing end to end: rendezvous before backend init, the
+    per-process batch slicing inside cmd_pretrain's synthetic feed, the
+    collective orbax checkpoint, and rank-0-only stats/log files."""
+    save = tmp_path / "run"
+    (l0, l1), logs = _run_cli_multihost(tmp_path, [
+        "pretrain", "--synthetic", "--steps_per_epoch", "2", "--epochs", "1",
+        "--save_dir", str(save), "--ckpt_every", "2"])
     assert len(l0) == 2 and l0 == l1, (l0, l1)
     assert "# multihost: process 0/2" in logs[0] + logs[1]
     assert "# multihost: process 1/2" in logs[0] + logs[1]
     # rank-0-only file outputs, collective checkpoint present
     assert (save / "stats.txt").exists() and (save / "info.log").exists()
     assert (save / "ckpt").exists()
+
+
+def test_cli_multihost_dual_finetune(tmp_path):
+    """ft-charades under 2 real processes: the dual fine-tune path slices
+    its synthetic feed per process and saves a collective checkpoint
+    (reference: multinode_train_charades.py DDP flow)."""
+    save = tmp_path / "ft"
+    (l0, l1), logs = _run_cli_multihost(tmp_path, [
+        "ft-charades", "--synthetic", "--steps_per_epoch", "2",
+        "--epochs", "1", "--save_dir", str(save)])
+    assert len(l0) == 2 and l0 == l1, (l0, l1)
+    assert (save / "stats.txt").exists()
+    assert (save / "ckpt").exists() and (save / "config.json").exists()
