@@ -242,7 +242,7 @@ def cmd_pretrain(args):
     from egovlpv2_tpu.utils.logging import (MetricsPipeline, StatsWriter,
                                              Throughput, setup_logging)
 
-    from egovlpv2_tpu.parallel.distributed import (PreemptionGuard,
+    from egovlpv2_tpu.parallel.distributed import (PreemptionGuard, barrier,
                                                      is_main_process)
 
     # rank-0-only file outputs: on a pod every host runs this command
@@ -277,15 +277,10 @@ def cmd_pretrain(args):
         else:
             from egovlpv2_tpu.data.datasets import EgoClipDataset
             from egovlpv2_tpu.data.loader import (
-                DataLoader, HostShardSampler, Tokenizer, pretrain_post_fn,
+                DataLoader, HostShardSampler, RoundRobinLoader, Tokenizer,
+                pretrain_post_fn,
             )
 
-            ds = EgoClipDataset(
-                args.meta, args.data, num_frames=cfg.model.video.num_frames,
-                input_res=cfg.model.video.img_size,
-                neg_param=args.neg_param,
-                device_norm=args.device_norm,
-            )
             tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
                             vocab_cap=cfg.model.text.vocab_size)
             # scene negatives concat a second clip per item at collate time
@@ -293,13 +288,28 @@ def cmd_pretrain(args):
             # keep the device-visible batch at global_batch_size; on a pod
             # each host additionally loads only its 1/process_count share.
             loader_batch = local_bs // (2 if args.neg_param else 1)
-            loader = DataLoader(
-                ds, loader_batch,
-                sampler=HostShardSampler(len(ds), jax.process_count(),
-                                         jax.process_index(), seed=cfg.seed),
-                num_workers=args.num_workers,
-                post_fn=pretrain_post_fn(tok, cfg.mlm_prob),
-            )
+
+            def make_loader(meta_path):
+                ds = EgoClipDataset(
+                    meta_path, args.data,
+                    num_frames=cfg.model.video.num_frames,
+                    input_res=cfg.model.video.img_size,
+                    neg_param=args.neg_param,
+                    device_norm=args.device_norm,
+                )
+                return DataLoader(
+                    ds, loader_batch,
+                    sampler=HostShardSampler(len(ds), jax.process_count(),
+                                             jax.process_index(),
+                                             seed=cfg.seed),
+                    num_workers=args.num_workers,
+                    post_fn=pretrain_post_fn(tok, cfg.mlm_prob),
+                )
+
+            # comma-separated metas round-robin across datasets per step
+            # (BaseMultiDataLoader, base_data_loader.py:142)
+            loaders = [make_loader(m) for m in args.meta.split(",")]
+            loader = loaders[0] if len(loaders) == 1 else RoundRobinLoader(loaders)
 
             def batches(epoch):
                 return (shard_batch(b, mesh) for b in loader.epoch(epoch))
@@ -362,6 +372,8 @@ def cmd_pretrain(args):
         # loop context (all pod hosts receive SIGTERM together, so the
         # collective orbax save below stays collective)
         guard = PreemptionGuard()
+        # meet before the first collective dispatch (see barrier())
+        barrier("pretrain_start")
         for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
@@ -480,7 +492,7 @@ def _run_dual_ft(args, dataset_name: str):
     from egovlpv2_tpu.utils.logging import (MetricsPipeline, StatsWriter,
                                              Throughput, setup_logging)
 
-    from egovlpv2_tpu.parallel.distributed import (PreemptionGuard,
+    from egovlpv2_tpu.parallel.distributed import (PreemptionGuard, barrier,
                                                      is_main_process)
 
     log = setup_logging(args.save_dir if is_main_process() else None)
@@ -613,6 +625,7 @@ def _run_dual_ft(args, dataset_name: str):
                     stats.write(rstep, full)
 
         guard = PreemptionGuard()
+        barrier("dual_ft_start")
         for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
@@ -692,7 +705,19 @@ def _make_dual_val(args, cfg, dataset_name, model, tok, log):
                         sent_path)
             video_ids = sentence_video_ids = None
 
+        # optional HTML retrieval visualizer, hooked into the EPIC val the
+        # way the reference does (trainer_epic.py:293-298 -> utils/visualizer)
+        viz = None
+        if getattr(args, "visualize", False) and args.save_dir:
+            from egovlpv2_tpu.utils.visualizer import RetrievalVisualizer
+
+            viz = RetrievalVisualizer(os.path.join(args.save_dir, "web"))
+        texts_seen: list = []
+        epoch_counter = [0]
+
         def post(batch):
+            if viz is not None:
+                texts_seen.extend(batch["text"])
             enc = tok(batch.pop("text"))
             batch.update(enc)
             return batch
@@ -700,10 +725,21 @@ def _make_dual_val(args, cfg, dataset_name, model, tok, log):
         def run_val(params):
             loader = DataLoader(ds, args.val_batch_size, post_fn=post,
                                 drop_last=False, num_workers=num_workers)
+            texts_seen.clear()
+
+            def on_sim(sim_tv, idx):
+                if viz is None:
+                    return
+                n = min(len(texts_seen), sim_tv.shape[0])
+                viz.write_epoch(epoch_counter[0], texts_seen[:n], sim_tv[:n],
+                                gt_indices=list(range(n)))
+                epoch_counter[0] += 1
+
             return evaluate_mir(model, params, loader.epoch(0),
                                 np.asarray(relevancy),
                                 video_ids=video_ids,
-                                sentence_video_ids=sentence_video_ids)
+                                sentence_video_ids=sentence_video_ids,
+                                on_sim=on_sim)
 
         return run_val
 
@@ -981,6 +1017,9 @@ def main(argv=None):
         f.add_argument("--resume", action="store_true",
                        help="continue from the latest checkpoint in "
                             "save_dir/ckpt (optimizer state + epoch)")
+        f.add_argument("--visualize", action="store_true",
+                       help="write per-epoch HTML retrieval pages to "
+                            "save_dir/web during epic validation")
         f.set_defaults(fn=fn)
 
     b = sub.add_parser("bench")

@@ -34,6 +34,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+        # One process compiles, the others receive the serialized binary
+        # through the coordination service (20 min timeout). Without this,
+        # each process compiles independently and the persistent-cache keys
+        # are per-process (only process 0 writes), so a warm process can
+        # reach the first collective minutes before a cold one — XLA:CPU's
+        # Gloo rendezvous only tolerates ~30 s of that skew (measured:
+        # 36 cache hits on process 0 vs 0 on process 1 -> connect timeout).
+        jax.config.update("jax_share_binary_between_hosts", True)
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -44,6 +52,24 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_ms: int = 1_200_000) -> None:
+    """Cross-process rendezvous via the coordination service (pure gRPC) —
+    NOT a device collective.
+
+    Used right before the first train-step dispatch: XLA:CPU's Gloo
+    rendezvous tolerates only ~30 s of skew between processes (hardcoded
+    GetKeyValue timeout), and per-process setup/compile skew can exceed
+    that on loaded hosts. Meeting here means every process dispatches the
+    first collective program together. No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
 
 
 class PreemptionGuard:

@@ -138,6 +138,10 @@ def main(argv=None) -> None:
             num_processes=args.nproc,
             process_id=args.pid,
         )
+        # compile once, ship the binary to the other processes (see
+        # initialize_multihost): keeps first-collective skew under the
+        # 30 s Gloo rendezvous window
+        jax.config.update("jax_share_binary_between_hosts", True)
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -172,6 +172,7 @@ def evaluate_mir(
     relevancy: np.ndarray,
     video_ids: Optional[np.ndarray] = None,
     sentence_video_ids: Optional[np.ndarray] = None,
+    on_sim=None,
 ) -> Dict[str, float]:
     """EK-100 MIR eval: encode everything, undo the gather order, select the
     official unique-sentence columns, run official mAP/nDCG
@@ -197,6 +198,10 @@ def evaluate_mir(
         # sliding-window expansion active: pool windows per video
         v, idx, t = pool_windows(v, idx, t)
     sim_tv = np.asarray(sim_matrix(jnp.asarray(t), jnp.asarray(v)))
+    if on_sim is not None:
+        # raw text x video similarity in encounter order (gt = diagonal);
+        # used by the HTML retrieval visualizer (trainer_epic.py:293-298)
+        on_sim(sim_tv, idx)
     if video_ids is not None and sentence_video_ids is not None:
         sim = align_mir_similarity(sim_tv, idx, video_ids, sentence_video_ids)
     else:

@@ -120,10 +120,10 @@ def main():
     one = _MODES[mode]()
     for _ in range(4):  # compile + server warmup
         one()
-    jax.profiler.start_trace(trace_dir)
-    for _ in range(3):
-        one()
-    jax.profiler.stop_trace()
+    from egovlpv2_tpu.utils.logging import profile_trace
+    with profile_trace(trace_dir):
+        for _ in range(3):
+            one()
 
     # parse the perfetto trace: flat 'XLA Ops' device track only (the
     # 'Steps' / 'XLA Modules' / name-scope tracks nest and double-count)

@@ -188,25 +188,7 @@ def test_pretrain_from_generated_mp4s(tiny_config, tmp_path, device_norm):
     scene-negative concat + tokenize + MLM collate -> jitted train step.
     (VERDICT round-1 weak item 3: no real-data-shaped pretrain run existed.)
     """
-    import cv2
-
-    data = tmp_path / "videos"
-    rows = ["video_uid\tnarration_time\tclip_start\tclip_end\tclip_text"
-            "\ttag_noun\ttag_verb"]
-    rs = np.random.RandomState(0)
-    for uid in ("vid_a", "vid_b"):
-        d = data / uid
-        d.mkdir(parents=True)
-        w = cv2.VideoWriter(str(d / "0.mp4"),
-                            cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
-        for _ in range(90):  # 3 s chunk @ 30 fps
-            w.write(rs.randint(0, 255, (32, 32, 3), np.uint8))
-        w.release()
-        for i in range(4):
-            t0 = 0.2 + i * 0.6
-            rows.append(
-                f"{uid}\t{t0:.1f}\t{t0:.1f}\t{t0 + 0.5:.1f}\t"
-                f"take the thing {i}\t[{i}]\t[{i % 3}]")
+    data, rows = _write_egoclip_fixture(tmp_path)
     meta = tmp_path / "egoclip.csv"
     meta.write_text("\n".join(rows))
 
@@ -222,6 +204,55 @@ def test_pretrain_from_generated_mp4s(tiny_config, tmp_path, device_norm):
     assert stats, "no training steps logged"
     last = json.loads(stats[-1])
     assert np.isfinite(last["loss_total"])
+
+
+def _write_egoclip_fixture(tmp_path):
+    """Chunked EgoClip-layout mp4s + tab-separated metadata rows."""
+    import cv2
+
+    data = tmp_path / "videos"
+    header = ("video_uid\tnarration_time\tclip_start\tclip_end\tclip_text"
+              "\ttag_noun\ttag_verb")
+    rows = [header]
+    rs = np.random.RandomState(0)
+    for uid in ("vid_a", "vid_b"):
+        d = data / uid
+        d.mkdir(parents=True)
+        w = cv2.VideoWriter(str(d / "0.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+        for _ in range(90):  # 3 s chunk @ 30 fps
+            w.write(rs.randint(0, 255, (32, 32, 3), np.uint8))
+        w.release()
+        for i in range(4):
+            t0 = 0.2 + i * 0.6
+            rows.append(
+                f"{uid}\t{t0:.1f}\t{t0:.1f}\t{t0 + 0.5:.1f}\t"
+                f"take the thing {i}\t[{i}]\t[{i % 3}]")
+    return data, rows
+
+
+def test_pretrain_multi_dataset_round_robin(tiny_config, tmp_path):
+    """Comma-separated --meta trains round-robin across datasets per step
+    (BaseMultiDataLoader, base_data_loader.py:142)."""
+    data, rows = _write_egoclip_fixture(tmp_path)
+    header, body = rows[0], rows[1:]
+    meta_a = tmp_path / "ego_a.csv"
+    meta_b = tmp_path / "ego_b.csv"
+    meta_a.write_text("\n".join([header] + body[: len(body) // 2]))
+    meta_b.write_text("\n".join([header] + body[len(body) // 2:]))
+
+    save = tmp_path / "run_rr"
+    cli.main([
+        "pretrain", "--config", tiny_config,
+        "--meta", f"{meta_a},{meta_b}", "--data", str(data),
+        "--neg_param", "60", "--num_workers", "1",
+        "--epochs", "1", "--save_dir", str(save),
+        "--set", "global_batch_size=8",  # loader batch 4 = one per dataset
+    ])
+    stats = (save / "stats.txt").read_text().strip().splitlines()
+    # one batch per dataset: both drained through the round-robin loader
+    assert len(stats) >= 2, stats
+    assert all(np.isfinite(json.loads(s)["loss_total"]) for s in stats)
 
 
 def _write_mp4(path, seconds=2, res=32, seed=0):
@@ -595,9 +626,13 @@ def test_ft_epic_with_val_epoch(tiny_config, tmp_path):
         "ft-epic", "--config", tiny_config,
         "--meta", str(meta), "--data", str(data),
         "--val_meta", str(meta), "--val_batch_size", "4",
-        "--epochs", "1", "--save_dir", str(save),
+        "--epochs", "1", "--save_dir", str(save), "--visualize",
         "--set", "global_batch_size=8", "max_text_len=12",
     ])
+    # HTML retrieval visualizer hooked into the val (trainer_epic.py:293-298)
+    assert (save / "web" / "index.html").exists()
+    epoch_page = (save / "web" / "retrieval_epoch0.html").read_text()
+    assert "open thing" in epoch_page
     stats = [json.loads(l) for l in
              (save / "stats.txt").read_text().strip().splitlines()]
     val_keys = [k for s in stats for k in s if k.startswith("val_")]

@@ -132,3 +132,42 @@ def test_train_transform_uint8_roundtrip():
                                          size=32)
     assert u.dtype == np.uint8
     np.testing.assert_allclose(u.astype(np.float32) / 255.0, f, atol=1 / 255.0)
+
+
+def test_round_robin_loader_alternates_and_drains():
+    """BaseMultiDataLoader parity (base_data_loader.py:142): batches
+    alternate across loaders per step and all loaders drain fully."""
+    from egovlpv2_tpu.data.loader import RoundRobinLoader
+
+    class Fake:
+        def __init__(self, tag, n):
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def epoch(self, epoch=0):
+            for i in range(self.n):
+                yield {"tag": self.tag, "i": i}
+
+    rr = RoundRobinLoader([Fake("a", 3), Fake("b", 1)])
+    out = list(rr.epoch(0))
+    assert len(out) == len(rr) == 4
+    assert [b["tag"] for b in out[:2]] == ["a", "b"]  # alternation
+    assert [b["i"] for b in out if b["tag"] == "a"] == [0, 1, 2]  # drained
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    """profile_trace captures a device trace (usable on CPU too)."""
+    import glob
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from egovlpv2_tpu.utils.logging import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        float(jnp.sum(jnp.ones((8, 8))))
+    assert glob.glob(os.path.join(str(tmp_path), "**", "*.pb*"),
+                     recursive=True) or os.listdir(str(tmp_path))
