@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import glob
+import itertools
 import json
 import os
 import sys
@@ -374,8 +375,24 @@ def cmd_pretrain(args):
         guard = PreemptionGuard()
         # meet before the first collective dispatch (see barrier())
         barrier("pretrain_start")
+        # epoch cap in loader samples (trainer_egoclip.py:108 breaks once
+        # (batch_idx+1)*batch_sum exceeds it; scene negatives double the
+        # device batch but the cap counts loader rows, so divide those out)
+        samples_per_step = cfg.global_batch_size // (
+            2 if (not args.synthetic and args.neg_param) else 1)
+        steps_cap = (max(1, cfg.max_samples_per_epoch // samples_per_step)
+                     if cfg.max_samples_per_epoch else None)
+        # validate once before any training (base_trainer.py:86; with
+        # --epochs 0 this reproduces the reference's eval-mode configs,
+        # configs/eval/egomcq.json "init_val": true + epochs 0)
+        if args.init_val and val_batches is not None and start_epoch == 0:
+            val = evaluate_egomcq(eval_step, state.params, val_batches(-1))
+            log.info("init val: %s",
+                     {k: round(v, 3) for k, v in val.items()})
+            if stats:
+                stats.write(step, {f"val_{k}": v for k, v in val.items()})
         for epoch in range(start_epoch, args.epochs):
-            for batch in batches(epoch):
+            for batch in itertools.islice(batches(epoch), steps_cap):
                 state, metrics = step_fn(state, batch)
                 step += 1
                 handle(pipe.push(step, metrics))
@@ -626,6 +643,13 @@ def _run_dual_ft(args, dataset_name: str):
 
         guard = PreemptionGuard()
         barrier("dual_ft_start")
+        # pre-training validation pass (base_trainer.py:330; --epochs 0
+        # + --init_val reproduces the reference eval-mode configs)
+        if args.init_val and run_val is not None and start_epoch == 0:
+            val = run_val(state.params)
+            log.info("init val: %s", {k: round(v, 4) for k, v in val.items()})
+            if stats:
+                stats.write(step, {f"val_{k}": v for k, v in val.items()})
         for epoch in range(start_epoch, args.epochs):
             for batch in batches(epoch):
                 state, metrics = step_fn(state, batch)
@@ -971,6 +995,9 @@ def main(argv=None):
                         "max:ensemble/Inter-video or min:loss_total")
     p.add_argument("--early_stop", type=int, default=0,
                    help="stop after N epochs without improvement (0=off)")
+    p.add_argument("--init_val", action="store_true",
+                   help="validate once before training (base_trainer.py:86; "
+                        "with --epochs 0 this is the reference's eval mode)")
     p.set_defaults(fn=cmd_pretrain)
 
     e = sub.add_parser("egomcq")
@@ -1020,6 +1047,9 @@ def main(argv=None):
         f.add_argument("--visualize", action="store_true",
                        help="write per-epoch HTML retrieval pages to "
                             "save_dir/web during epic validation")
+        f.add_argument("--init_val", action="store_true",
+                       help="validate once before training (base_trainer.py"
+                            ":330; with --epochs 0 this is eval mode)")
         f.set_defaults(fn=fn)
 
     b = sub.add_parser("bench")

@@ -177,6 +177,10 @@ class TrainConfig:
     # = 4.5% of the flagship step, profiled) — opt in when diagnosing.
     log_grad_norm: bool = False
     global_batch_size: int = 256
+    # cap an epoch at this many (global) loader samples; 0 = full dataset.
+    # The reference trains "20 epochs x 500k clips" of the 3.8M-clip EgoClip
+    # table (trainer_egoclip.py:108, configs/pt/egoclip.json:70).
+    max_samples_per_epoch: int = 0
     max_text_len: int = 15  # tokenizer max_length at pretrain (trainer_egoclip.py:120)
     mlm_prob: float = 0.15
     seed: int = 0

@@ -60,6 +60,38 @@ def test_pretrain_with_val_monitor_and_early_stop(tiny_config, tmp_path):
     assert mon["key"] == "vtc/Inter-video" and mon["best"] is not None
 
 
+def test_pretrain_init_val_eval_mode(tiny_config, tmp_path):
+    """--init_val --epochs 0 is the reference's eval mode (configs/eval/
+    egomcq.json sets "init_val": true + epochs 0, base_trainer.py:86)."""
+    save = tmp_path / "run_init_val"
+    cli.main([
+        "pretrain", "--config", tiny_config, "--synthetic",
+        "--epochs", "0", "--save_dir", str(save),
+        "--val_synthetic", "--val_batches", "1", "--val_vtc_only",
+        "--init_val",
+    ])
+    stats = (save / "stats.txt").read_text().strip().splitlines()
+    # no training steps ran, but the validation metrics were recorded
+    assert not any("loss_total" in line for line in stats)
+    assert any("val_vtc/Inter-video" in line for line in stats)
+
+
+def test_pretrain_max_samples_per_epoch_caps_steps(tiny_config, tmp_path):
+    """max_samples_per_epoch breaks the epoch early (trainer_egoclip.py:108,
+    the reference's '20 epochs x 500k clips' recipe on the 3.8M-clip table)."""
+    save = tmp_path / "run_cap"
+    cli.main([
+        "pretrain", "--config", tiny_config, "--synthetic",
+        "--epochs", "1", "--steps_per_epoch", "5",
+        "--save_dir", str(save),
+        # global_batch_size=8 (tiny config): cap 16 samples -> 2 steps
+        "--set", "global_batch_size=8", "max_samples_per_epoch=16",
+    ])
+    stats = (save / "stats.txt").read_text().strip().splitlines()
+    steps = [json.loads(s)["step"] for s in stats if "loss_total" in s]
+    assert max(steps) == 2, steps
+
+
 def test_pretrain_resume_restores_monitor(tiny_config, tmp_path):
     save = tmp_path / "run_resume"
     common = [
