@@ -830,6 +830,17 @@ def cmd_mq(args):
     _emit_metrics(metrics, args.metrics_out)
 
 
+def cmd_mq_anno(args):
+    """Official Ego4D moments jsons -> the clip-annotation table `mq`
+    consumes (EgoMQ/Convert_annotations.py)."""
+    from egovlpv2_tpu.downstream.mq_data import write_clip_annotations
+
+    counts = write_clip_annotations(
+        args.out, args.moments.split(","), args.info,
+        feature_dir=args.features)
+    print(json.dumps(counts))
+
+
 def cmd_nlq(args):
     """EgoNLQ: official nlq json + extracted per-query features -> VSLNet ->
     R@k/mIoU (EgoNLQ/main.py:197-330)."""
@@ -1071,6 +1082,18 @@ def main(argv=None):
     m.add_argument("--use_vss", action="store_true")
     m.add_argument("--metrics_out", default=None)
     m.set_defaults(fn=cmd_mq)
+
+    ma = sub.add_parser(
+        "mq-anno",
+        help="convert official Ego4D moments jsons to clip annotations")
+    ma.add_argument("--moments", required=True,
+                    help="comma-separated moments_{train,val,test}.json")
+    ma.add_argument("--info", required=True,
+                    help="ego4d.json video metadata (duration_sec)")
+    ma.add_argument("--features", default=None,
+                    help="feature dir: skip videos without dumps, record fps")
+    ma.add_argument("--out", required=True, help="output clip-annotation json")
+    ma.set_defaults(fn=cmd_mq_anno)
 
     n = sub.add_parser("nlq", help="EgoNLQ: train VSLNet + official metrics")
     n.add_argument("--train_anno", required=True, help="official nlq_train.json")

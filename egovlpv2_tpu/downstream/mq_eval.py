@@ -98,6 +98,83 @@ def average_precision_detection(
     return ap
 
 
+def span_iou(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Pairwise IoU [P, G] with SPAN union (max(e)-min(s), not set union).
+
+    This is the retrieval metric's overlap definition
+    (`EgoMQ/Evaluation/ego4d/get_retrieval_performance.py:130-148`), which
+    differs from `segment_iou`'s detection semantics."""
+    pred = np.asarray(pred, np.float64).reshape(-1, 2)
+    gt = np.asarray(gt, np.float64).reshape(-1, 2)
+    inter_l = np.maximum(pred[:, 0, None], gt[None, :, 0])
+    inter_r = np.minimum(pred[:, 1, None], gt[None, :, 1])
+    inter = np.maximum(0.0, inter_r - inter_l)
+    union_l = np.minimum(pred[:, 0, None], gt[None, :, 0])
+    union_r = np.maximum(pred[:, 1, None], gt[None, :, 1])
+    union = np.maximum(0.0, union_r - union_l)
+    return inter / np.maximum(union, 1e-12)
+
+
+def retrieval_recall(
+    ground_truth: List[Dict],
+    prediction: List[Dict],
+    tious: Sequence[float] = (0.3, 0.5, 0.7),
+    recalls: Sequence[int] = (1, 2, 3, 4, 5),
+) -> Dict[str, float]:
+    """Moment-retrieval Recall rx @ tIoU over per-(clip, label) ranked lists.
+
+    Capability-parity target: `get_retrieval_performance.py:93-127`
+    (Moment_Retrieval.evaluate): for each clip and each GT label, rank that
+    label's predictions by score; a GT instance counts as retrieved at rank
+    budget r if any of the top r*num_gt predictions overlaps it with
+    span-IoU > t. Labels with no predictions contribute misses. Entries use
+    the same dict format as `detection_map` (video_id/t_start/t_end/label,
+    predictions add score)."""
+    gt_groups: Dict[tuple, List[List[float]]] = {}
+    for g in ground_truth:
+        gt_groups.setdefault((g["video_id"], g["label"]), []).append(
+            [g["t_start"], g["t_end"]])
+    pred_groups: Dict[tuple, List[List[float]]] = {}
+    for p in prediction:
+        pred_groups.setdefault((p["video_id"], p["label"]), []).append(
+            [p["t_start"], p["t_end"], p["score"]])
+
+    hits = np.zeros((len(tious), len(recalls)))
+    total = 0
+    for key, gts in gt_groups.items():
+        num_gt = len(gts)
+        total += num_gt
+        preds = pred_groups.get(key)
+        if not preds:
+            continue
+        preds = sorted(preds, key=lambda r: -r[2])
+        overlap = span_iou(np.array(preds)[:, :2], np.array(gts))  # [P, G]
+        for i, t in enumerate(tious):
+            above = overlap > t
+            for j, r in enumerate(recalls):
+                hits[i, j] += above[: r * num_gt].any(axis=0).sum()
+
+    out = {}
+    for i, t in enumerate(tious):
+        for j, r in enumerate(recalls):
+            out[f"recall@{r}x_tiou{t:g}"] = (
+                float(hits[i, j] / total) if total else 0.0)
+    return out
+
+
+def pack_submission(detections: List[Dict], retrievals: List[Dict],
+                    version: str = "1.0") -> Dict:
+    """Challenge submission dict (`EgoMQ/Merge_detection_retrieval.py:40-45`).
+
+    Both inputs are {clip_id: [{label, score, segment}]} results maps."""
+    return {
+        "version": version,
+        "challenge": "ego4d_moment_queries",
+        "detect_results": detections,
+        "retrieve_results": retrievals,
+    }
+
+
 def detection_map(
     ground_truth: List[Dict],
     prediction: List[Dict],

@@ -16,6 +16,7 @@ tasks/{extract,qfvs_extract}).
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -120,7 +121,52 @@ def run_egomq(
                 "t_start": ann["start_time"], "t_end": ann["end_time"],
                 "label": infer_ds.classes[ann["label"]],
             })
-    return mq_eval.detection_map(ground_truth, predictions, tiou_thresholds)
+    metrics = dict(mq_eval.detection_map(ground_truth, predictions,
+                                         tiou_thresholds))
+
+    # retrieval track: per clip keep only GT-present categories, ranked by
+    # score, top num_prop across labels (generate_retrieval.py:70-110
+    # rm_other_category + sort + cap); then Recall rx @ tIoU
+    num_prop = 200
+    gt_labels: Dict[str, set] = {}
+    for g in ground_truth:
+        gt_labels.setdefault(g["video_id"], set()).add(g["label"])
+    by_clip: Dict[str, List[Dict]] = {}
+    for p in predictions:
+        if p["label"] in gt_labels.get(p["video_id"], ()):
+            by_clip.setdefault(p["video_id"], []).append(p)
+    retrieval_preds: List[Dict] = []
+    for clip, props in by_clip.items():
+        retrieval_preds += sorted(
+            props, key=lambda r: -r["score"])[:num_prop]
+    metrics.update(mq_eval.retrieval_recall(ground_truth, retrieval_preds))
+
+    # challenge artifacts (Infer.py writes detections_postNMS.json; the
+    # retrieval file keeps the reference's spelling so Merge/Eval tooling
+    # pointed at this out_dir finds it; Merge_detection_retrieval.py packs
+    # both into submission.json)
+    idx_classes = {v: k for k, v in infer_ds.classes.items()}
+
+    def _results_map(props: List[Dict]) -> Dict[str, List[Dict]]:
+        res: Dict[str, List[Dict]] = {c: [] for c in seen_clips}
+        for p in props:
+            res.setdefault(p["video_id"], []).append({
+                "label": idx_classes[p["label"]],
+                "score": round(p["score"], 6),
+                "segment": [round(p["t_start"], 1), round(p["t_end"], 1)],
+            })
+        return res
+
+    det_map = _results_map(predictions)
+    rev_map = _results_map(retrieval_preds)
+    for name, results in (("detections_postNMS.json", det_map),
+                          ("retreival_postNMS.json", rev_map)):
+        with open(os.path.join(out_dir, name), "w") as f:
+            json.dump({"version": "1.0", "external_data": "",
+                       "results": results}, f)
+    with open(os.path.join(out_dir, "submission.json"), "w") as f:
+        json.dump(mq_eval.pack_submission(det_map, rev_map), f)
+    return metrics
 
 
 def run_egonlq(

@@ -51,6 +51,57 @@ def test_cli_mq(tmp_path):
     ])
     metrics = json.loads(out.read_text())
     assert "mAP_avg" in metrics and 0.0 <= metrics["mAP_avg"] <= 1.0
+    # the retrieval track + challenge artifacts ship from the same entry
+    # (Eval.py eval_retrieval + Merge_detection_retrieval.py)
+    assert "recall@1x_tiou0.3" in metrics
+    assert (tmp_path / "mq_out" / "submission.json").exists()
+
+
+def test_cli_mq_anno_to_mq(tmp_path):
+    """Official moments jsons -> mq-anno -> mq: the full reference pipeline
+    (Convert_annotations.py feeding Train/Infer/Eval)."""
+    rs = np.random.RandomState(2)
+    videos = []
+    for split, names in (("train", ["a", "b"]), ("val", ["c"])):
+        for name in names:
+            np.save(tmp_path / f"{name}.npy",
+                    rs.randn(40, 8).astype(np.float32))
+            videos.append({
+                "video_uid": f"vid_{name}", "split": split,
+                "clips": [{
+                    "clip_uid": name,
+                    "video_start_sec": 0.0, "video_end_sec": 20.0,
+                    "annotations": [{"labels": [
+                        {"label": "cook", "primary": True,
+                         "start_time": 2.0, "end_time": 6.0},
+                        {"label": "clean", "primary": True,
+                         "start_time": 10.0, "end_time": 14.0},
+                    ]}],
+                }],
+            })
+    moments = tmp_path / "moments.json"
+    moments.write_text(json.dumps({"videos": videos}))
+    info = tmp_path / "ego4d.json"
+    info.write_text(json.dumps({"videos": [
+        {"video_uid": v["video_uid"], "duration_sec": 20.0}
+        for v in videos]}))
+    anno = tmp_path / "clip_annotations.json"
+    cli.main([
+        "mq-anno", "--moments", str(moments), "--info", str(info),
+        "--features", str(tmp_path), "--out", str(anno),
+    ])
+    counts = json.loads(anno.read_text())
+    assert set(counts) == {"a", "b", "c"}
+    out = tmp_path / "mq_metrics.json"
+    cli.main([
+        "mq", "--anno", str(anno), "--features", str(tmp_path),
+        "--out", str(tmp_path / "mq_out2"), "--epochs", "1",
+        "--batch_size", "2", "--temporal_scale", "64",
+        "--input_feat_dim", "8", "--num_levels", "3",
+        "--metrics_out", str(out),
+    ])
+    metrics = json.loads(out.read_text())
+    assert "mAP_avg" in metrics
 
 
 def test_cli_nlq(tmp_path):

@@ -228,6 +228,98 @@ def test_mq_detection_map():
     assert m3["mAP_avg"] < m["mAP_avg"]
 
 
+def test_mq_retrieval_recall():
+    """Recall rx @ tIoU semantics (get_retrieval_performance.py:93-127):
+    budget = r * num_gt ranked predictions per (clip, label); unpredicted
+    labels contribute misses."""
+    from egovlpv2_tpu.downstream import mq_eval
+
+    gt = [
+        {"video_id": "v1", "t_start": 0.0, "t_end": 10.0, "label": 1},
+        {"video_id": "v1", "t_start": 20.0, "t_end": 30.0, "label": 1},
+        # label 2 never predicted -> always a miss
+        {"video_id": "v2", "t_start": 5.0, "t_end": 15.0, "label": 2},
+    ]
+    pred = [
+        # junk outranks the true proposals: at r=1 the budget (2 preds)
+        # covers junk + the first true hit only
+        {"video_id": "v1", "t_start": 100.0, "t_end": 110.0, "label": 1,
+         "score": 0.9},
+        {"video_id": "v1", "t_start": 0.0, "t_end": 10.0, "label": 1,
+         "score": 0.8},
+        {"video_id": "v1", "t_start": 20.0, "t_end": 30.0, "label": 1,
+         "score": 0.7},
+    ]
+    m = mq_eval.retrieval_recall(gt, pred)
+    for t in (0.3, 0.5, 0.7):
+        assert abs(m[f"recall@1x_tiou{t:g}"] - 1 / 3) < 1e-9
+        assert abs(m[f"recall@2x_tiou{t:g}"] - 2 / 3) < 1e-9
+        assert abs(m[f"recall@5x_tiou{t:g}"] - 2 / 3) < 1e-9
+    # empty gt -> all zeros, no division error
+    assert mq_eval.retrieval_recall([], pred)["recall@1x_tiou0.3"] == 0.0
+
+
+def test_mq_pack_submission():
+    from egovlpv2_tpu.downstream import mq_eval
+
+    det = {"c1": [{"label": "cook", "score": 0.5, "segment": [0.0, 1.0]}]}
+    rev = {"c1": []}
+    sub = mq_eval.pack_submission(det, rev)
+    assert sub["challenge"] == "ego4d_moment_queries"
+    assert sub["detect_results"] is det and sub["retrieve_results"] is rev
+
+
+def test_mq_convert_moment_annotations(tmp_path):
+    """Official moments jsons -> clip annotations (Convert_annotations.py):
+    primary-label filtering, feature gating + fps, empty-clip pruning."""
+    from egovlpv2_tpu.downstream.mq_data import convert_moment_annotations
+
+    def label(name, primary=True):
+        return {"label": name, "start_time": 1.0, "end_time": 3.0,
+                "primary": primary}
+
+    train = {"videos": [
+        {"video_uid": "vid1", "split": "train", "clips": [{
+            "clip_uid": "c1", "video_start_sec": 0.0, "video_end_sec": 8.0,
+            "annotations": [{"labels": [label("cook"),
+                                        label("alt", primary=False)]}],
+        }]},
+        # no extracted features -> whole video skipped
+        {"video_uid": "vid2", "split": "train", "clips": [{
+            "clip_uid": "missing", "video_start_sec": 0.0,
+            "video_end_sec": 8.0,
+            "annotations": [{"labels": [label("cook")]}],
+        }]},
+        # zero primary annotations -> clip pruned
+        {"video_uid": "vid3", "split": "train", "clips": [{
+            "clip_uid": "c3", "video_start_sec": 0.0, "video_end_sec": 8.0,
+            "annotations": [{"labels": [label("alt", primary=False)]}],
+        }]},
+    ]}
+    test = {"videos": [
+        # test clips carry no annotations but are kept
+        {"video_uid": "vid4", "split": "test", "clips": [{
+            "clip_uid": "c4", "video_start_sec": 2.0, "video_end_sec": 10.0,
+        }]},
+    ]}
+    info = {"videos": [{"video_uid": f"vid{i}", "duration_sec": 16.0}
+                       for i in (1, 2, 3, 4)]}
+    for cid in ("c1", "c3", "c4"):
+        np.save(tmp_path / f"{cid}.npy", np.zeros((32, 4), np.float32))
+
+    clips = convert_moment_annotations([train, test], info, str(tmp_path))
+    assert set(clips) == {"c1", "c4"}
+    c1 = clips["c1"]
+    assert c1["subset"] == "train" and c1["video_id"] == "vid1"
+    assert [a["label"] for a in c1["annotations"]] == ["cook"]
+    assert abs(c1["fps"] - 32 / 16.0) < 1e-9  # feature frames / duration
+    assert clips["c4"]["annotations"] == []
+    # without a feature dir nothing is gated and fps is omitted
+    all_clips = convert_moment_annotations([train, test], info)
+    assert set(all_clips) == {"c1", "missing", "c4"}
+    assert "fps" not in all_clips["c1"]
+
+
 def test_segment_iou_set_union():
     from egovlpv2_tpu.downstream import mq_eval
     import numpy as np

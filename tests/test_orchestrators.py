@@ -35,6 +35,23 @@ def test_run_egomq_end_to_end(tmp_path):
     )
     assert "mAP_avg" in metrics
     assert 0.0 <= metrics["mAP_avg"] <= 1.0
+    # retrieval track (Eval.py eval_retrieval): Recall rx @ tIoU rows,
+    # monotone in the rank budget
+    for t in (0.3, 0.5, 0.7):
+        vals = [metrics[f"recall@{r}x_tiou{t:g}"] for r in (1, 2, 3, 4, 5)]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+        assert vals == sorted(vals)
+    # challenge artifacts (Infer.py + Merge_detection_retrieval.py)
+    for fname in ("detections_postNMS.json", "retreival_postNMS.json",
+                  "submission.json"):
+        assert (tmp_path / fname).exists(), fname
+    sub = json.loads((tmp_path / "submission.json").read_text())
+    assert sub["challenge"] == "ego4d_moment_queries"
+    assert set(sub["detect_results"]) == {"c"}  # the one val clip
+    det = json.loads((tmp_path / "detections_postNMS.json").read_text())
+    for prop in det["results"]["c"]:
+        assert prop["label"] in ("cook", "clean")  # names, not indices
+        assert len(prop["segment"]) == 2
 
 
 def test_run_egonlq_end_to_end(tmp_path):
