@@ -64,6 +64,8 @@ def load_train_config(path=None, overrides=None):
             fields = {f.name: f for f in dataclasses.fields(cls)}
             kwargs = {}
             for k, v in data.items():
+                if k.startswith("_"):  # comment keys, e.g. "_doc"
+                    continue
                 if k not in fields:
                     raise KeyError(f"unknown config key {k} for {cls.__name__}")
                 if isinstance(v, dict):

@@ -60,6 +60,20 @@ def test_pretrain_with_val_monitor_and_early_stop(tiny_config, tmp_path):
     assert mon["key"] == "vtc/Inter-video" and mon["best"] is not None
 
 
+def test_shipped_configs_load():
+    """Every json under configs/ builds a TrainConfig; `_`-prefixed keys are
+    comments (the reference ships pt/ft/eval config trees, configs/*)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.json")))
+    assert len(paths) >= 7, paths
+    for p in paths:
+        cfg = cli.load_train_config(p)
+        assert cfg.model.video.num_frames in (4, 16, 32), p
+
+
 def test_pretrain_init_val_eval_mode(tiny_config, tmp_path):
     """--init_val --epochs 0 is the reference's eval mode (configs/eval/
     egomcq.json sets "init_val": true + epochs 0, base_trainer.py:86)."""
