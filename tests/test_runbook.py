@@ -1,0 +1,61 @@
+"""docs/PARITY_RUNBOOK.md stays executable: every documented CLI flag must
+exist on the documented subcommand, and the documented python snippet's
+imports must resolve. The heavy end-to-end drive of the same commands on a
+fabricated reference-format .pth lives in tests/test_checkpoint_strict.py::
+test_egomcq_zero_shot_from_reference_pth."""
+
+import contextlib
+import io
+import os
+import re
+
+import pytest
+
+RUNBOOK = os.path.join(os.path.dirname(__file__), "..", "docs",
+                       "PARITY_RUNBOOK.md")
+
+
+def _documented_commands():
+    """[(subcommand, {--flags})] from the runbook's ```bash blocks."""
+    text = open(RUNBOOK).read()
+    out = []
+    for block in re.findall(r"```bash\n(.*?)```", text, re.S):
+        m = re.search(r"egovlpv2-tpu\s+(\S+)", block)
+        if not m:
+            continue
+        out.append((m.group(1), set(re.findall(r"(--[\w-]+)", block))))
+    return out
+
+
+def _help_text(subcmd):
+    from egovlpv2_tpu import cli
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf), pytest.raises(SystemExit):
+        cli.main([subcmd, "--help"])
+    return buf.getvalue()
+
+
+def test_runbook_flags_exist():
+    cmds = _documented_commands()
+    assert {c for c, _ in cmds} == {"egomcq", "ft-epic"}
+    for subcmd, flags in cmds:
+        helptext = _help_text(subcmd)
+        missing = {f for f in flags if f not in helptext}
+        assert not missing, f"{subcmd}: runbook flags not in CLI: {missing}"
+
+
+def test_runbook_python_snippet_imports():
+    text = open(RUNBOOK).read()
+    snippet = re.search(r"<<'EOF'\n(.*?)EOF", text, re.S).group(1)
+    # the snippet must reference only real API names
+    from egovlpv2_tpu.train import checkpoint_import
+
+    for name in re.findall(r"checkpoint_import import \(\n?\s*([\w, ]+)\)",
+                           snippet.replace("\n", " ")):
+        for sym in name.split(","):
+            assert hasattr(checkpoint_import, sym.strip())
+    # and the config presets it names must exist
+    for cfg in re.findall(r"configs/[\w.]+\.json", text):
+        assert os.path.exists(os.path.join(os.path.dirname(RUNBOOK), "..",
+                                           cfg)), cfg
