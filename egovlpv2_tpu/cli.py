@@ -246,7 +246,8 @@ def cmd_pretrain(args):
                                              Throughput, setup_logging)
 
     from egovlpv2_tpu.parallel.distributed import (PreemptionGuard, barrier,
-                                                     is_main_process)
+                                                     is_main_process,
+                                                     precompiled_epoch)
 
     # rank-0-only file outputs: on a pod every host runs this command
     # against a shared save_dir (reference: rank-0 logging in trainer/)
@@ -394,7 +395,12 @@ def cmd_pretrain(args):
             if stats:
                 stats.write(step, {f"val_{k}": v for k, v in val.items()})
         for epoch in range(start_epoch, args.epochs):
-            for batch in itertools.islice(batches(epoch), steps_cap):
+            epoch_it = itertools.islice(batches(epoch), steps_cap)
+            if epoch == start_epoch:
+                # absorb compile skew before the first collective dispatch
+                epoch_it = precompiled_epoch(step_fn, state, epoch_it,
+                                             "pretrain_compile")
+            for batch in epoch_it:
                 state, metrics = step_fn(state, batch)
                 step += 1
                 handle(pipe.push(step, metrics))
@@ -512,7 +518,8 @@ def _run_dual_ft(args, dataset_name: str):
                                              Throughput, setup_logging)
 
     from egovlpv2_tpu.parallel.distributed import (PreemptionGuard, barrier,
-                                                     is_main_process)
+                                                     is_main_process,
+                                                     precompiled_epoch)
 
     log = setup_logging(args.save_dir if is_main_process() else None)
     cfg = load_train_config(args.config, args.set)
@@ -653,7 +660,12 @@ def _run_dual_ft(args, dataset_name: str):
             if stats:
                 stats.write(step, {f"val_{k}": v for k, v in val.items()})
         for epoch in range(start_epoch, args.epochs):
-            for batch in batches(epoch):
+            epoch_it = batches(epoch)
+            if epoch == start_epoch:
+                # absorb compile skew before the first collective dispatch
+                epoch_it = precompiled_epoch(step_fn, state, epoch_it,
+                                             "dual_ft_compile")
+            for batch in epoch_it:
                 state, metrics = step_fn(state, batch)
                 step += 1
                 handle(pipe.push(step, metrics))

@@ -34,14 +34,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-        # One process compiles, the others receive the serialized binary
-        # through the coordination service (20 min timeout). Without this,
-        # each process compiles independently and the persistent-cache keys
-        # are per-process (only process 0 writes), so a warm process can
-        # reach the first collective minutes before a cold one — XLA:CPU's
-        # Gloo rendezvous only tolerates ~30 s of that skew (measured:
-        # 36 cache hits on process 0 vs 0 on process 1 -> connect timeout).
-        jax.config.update("jax_share_binary_between_hosts", True)
+        # jax_share_binary_between_hosts is deliberately NOT enabled: its
+        # KV exchange is keyed by the persistent-cache key, which on this
+        # stack is PER-PROCESS (measured: the identical global psum program
+        # hashes differently under process_id 0 vs 1 — and only process 0
+        # writes the persistent cache). A warm process 0 then cache-hits,
+        # skips the KV set, and every other process deadlocks waiting for a
+        # key nobody will write. Each process compiles independently
+        # instead; `precompiled_epoch` (AOT compile + coordination barrier
+        # before the first dispatch) is what keeps compile skew away from
+        # XLA:CPU Gloo's ~30 s first-collective rendezvous window.
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -70,6 +72,33 @@ def barrier(name: str, timeout_ms: int = 1_200_000) -> None:
     client = distributed.global_state.client
     if client is not None:
         client.wait_at_barrier(name, timeout_ms)
+
+
+def precompiled_epoch(step_fn, state, it, name: str):
+    """Multi-process: peek the first batch, AOT-compile the jitted train
+    step on it, then meet at a coordination barrier before dispatching.
+
+    `barrier()` alone absorbs setup skew but NOT compile skew — the step
+    compiles lazily on its first call, AFTER the barrier, and on a loaded
+    (or 1-core) host two processes timesharing trace+compile can drift far
+    past XLA:CPU Gloo's ~30 s first-collective rendezvous window.
+    `.lower().compile()` does not execute anything (so no collective can
+    fire during the skewed phase); the barrier that follows is pure gRPC
+    against the coordination service, whose timeout we control.
+    Post-barrier skew is then microseconds of Python.
+
+    Returns an iterator equivalent to `it` (the peeked batch is re-chained).
+    Single-process: returns `it` untouched."""
+    if jax.process_count() <= 1:
+        return it
+    import itertools
+
+    it = iter(it)
+    first = next(it, None)
+    if first is not None:
+        step_fn.lower(state, first).compile()
+    barrier(name)
+    return itertools.chain([first], it) if first is not None else iter(())
 
 
 class PreemptionGuard:

@@ -132,8 +132,28 @@ def param_sharding(params, mesh: Mesh):
     return traverse_util.unflatten_dict(out)
 
 
+def _put_global(x, sh: NamedSharding):
+    """Collective-free placement of a host value onto a (possibly
+    cross-process) sharding.
+
+    Multi-process `jax.device_put(host_array, sharding)` silently runs
+    `multihost_utils.assert_equal` — a process_allgather, i.e. a Gloo/ICI
+    collective — PER CALL (jax dispatch.py `_device_put_sharding_impl`).
+    Sharding a param tree that way fires hundreds of tiny collectives
+    before training starts; on XLA:CPU each is a fresh 30 s Gloo
+    rendezvous exposure. Placing each addressable shard directly skips
+    the check (params are bit-identical across processes by construction:
+    same seed, same init program)."""
+    x = np.asarray(x)
+    arrs = [jax.device_put(x[idx], d)
+            for d, idx in sh.addressable_devices_indices_map(x.shape).items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sh, arrs)
+
+
 def shard_params(params, mesh: Mesh):
     sh = param_sharding(params, mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(_put_global, params, sh)
     return jax.tree_util.tree_map(jax.device_put, params, sh)
 
 
@@ -141,4 +161,6 @@ def replicate(tree, mesh: Mesh):
     """Place every leaf replicated across the mesh (e.g. a restored
     checkpointed TrainState whose arrays landed on a single device)."""
     sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(lambda x: _put_global(x, sh), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -40,7 +40,7 @@ def free_port() -> int:
 
 
 def launch_workers(nproc: int, devices_per_process: int = 4, steps: int = 2,
-                   global_batch: int = 8, ckpt_dir=None, timeout: int = 900,
+                   global_batch: int = 8, ckpt_dir=None, timeout: int = 1500,
                    out_dir=None):
     """Launch `nproc` real OS worker processes and return their result dicts.
 
@@ -138,20 +138,32 @@ def main(argv=None) -> None:
             num_processes=args.nproc,
             process_id=args.pid,
         )
-        # compile once, ship the binary to the other processes (see
-        # initialize_multihost): keeps first-collective skew under the
-        # 30 s Gloo rendezvous window
-        jax.config.update("jax_share_binary_between_hosts", True)
+        # NOTE: jax_share_binary_between_hosts is deliberately OFF. Its KV
+        # exchange is keyed by the persistent-cache key, and on this stack
+        # that key is PER-PROCESS (measured: the identical global psum
+        # program hashes differently under process_id 0 vs 1), so the
+        # non-zero process blocks on a key the zero process never sets —
+        # a deadlock, not a speedup. Each process compiles independently;
+        # the precompile barrier below synchronizes them afterwards.
+
+    import time
 
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from egovlpv2_tpu.parallel.distributed import barrier
     from egovlpv2_tpu.parallel.mesh import (
         local_batch_size, make_mesh, shard_batch, shard_params,
     )
     from egovlpv2_tpu.tasks.pretrain import (
         build_pretrain, synthetic_batch, tiny_train_config,
     )
+
+    t0 = time.time()
+
+    def trace(msg):  # timestamped child progress for skew diagnosis
+        print(f"[pid {args.pid} +{time.time() - t0:7.1f}s] {msg}",
+              flush=True)
 
     n = len(jax.devices())
     assert n == args.nproc * args.devices_per_process, (
@@ -169,8 +181,31 @@ def main(argv=None) -> None:
         full0 = synthetic_batch(cfg, args.global_batch,
                                 np.random.default_rng(1000))
         model, init_state = build_pretrain(cfg, mesh=mesh)
+        trace("init_state (local model/optimizer init)")
         state, step_fn = init_state(full0)
         state = state._replace(params=shard_params(state.params, mesh))
+        rep_fn = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+        if args.nproc > 1:
+            # XLA:CPU's Gloo rendezvous happens on the FIRST collective
+            # execution and tolerates only ~30 s of inter-process skew
+            # (hardcoded GetKeyValue timeout). On a 1-core host two
+            # children timesharing trace/compile can skew far past that.
+            # So: AOT-compile every collective program first (compile does
+            # not execute, and with jax_share_binary_between_hosts the
+            # non-first process just waits on the KV store — our timeout),
+            # then meet at a coordination-service barrier (gRPC, our
+            # timeout), and only then dispatch. Post-barrier skew is
+            # microseconds of Python, far inside the Gloo window.
+            local0 = {k: v[args.pid * local_bs:(args.pid + 1) * local_bs]
+                      for k, v in full0.items()}
+            dev0 = shard_batch(local0, mesh)
+            trace("AOT-compiling collective programs")
+            rep_fn.lower(dev0["video"]).compile()
+            step_fn.lower(state, dev0).compile()
+            trace("compiled; waiting at precompile barrier")
+            barrier("mp_precompile")
+            trace("barrier passed; dispatching")
 
         for i in range(args.steps):
             full = synthetic_batch(cfg, args.global_batch,
@@ -182,13 +217,12 @@ def main(argv=None) -> None:
             if i == 0:
                 # prove the assembly: replicating the global array back to
                 # every device must reproduce the full host batch row-exact
-                rep = jax.jit(
-                    lambda x: x, out_shardings=NamedSharding(mesh, P())
-                )(dev_batch["video"])
+                rep = rep_fn(dev_batch["video"])
                 np.testing.assert_array_equal(np.asarray(rep), full["video"])
 
             state, metrics = step_fn(state, dev_batch)
             losses.append(float(metrics["loss_total"]))
+            trace(f"step {i} done")
 
         result = {
             "pid": args.pid,

@@ -19,7 +19,16 @@ pytestmark = pytest.mark.slow  # spawns children that compile on 1 CPU core
 
 
 @pytest.fixture(scope="module")
-def two_proc_results(tmp_path_factory):
+def single_proc_results():
+    # runs FIRST: warms the persistent compile cache on THIS host's
+    # signature, so the 2-process children's compiles are mostly cache
+    # hits (less timesharing pressure on a 1-core host)
+    return launch_workers(nproc=1, devices_per_process=8, steps=2,
+                          global_batch=8)
+
+
+@pytest.fixture(scope="module")
+def two_proc_results(tmp_path_factory, single_proc_results):
     ckpt = str(tmp_path_factory.mktemp("mp_ckpt"))
     return launch_workers(nproc=2, devices_per_process=4, steps=2,
                           global_batch=8, ckpt_dir=ckpt)
@@ -35,9 +44,9 @@ def test_two_process_step_runs_and_agrees(two_proc_results):
     assert all(np.isfinite(r0["losses"]))
 
 
-def test_two_process_matches_single_process(two_proc_results):
-    single = launch_workers(nproc=1, devices_per_process=8, steps=2,
-                            global_batch=8)[0]
+def test_two_process_matches_single_process(two_proc_results,
+                                             single_proc_results):
+    single = single_proc_results[0]
     multi = two_proc_results[0]
     assert single["mesh"] == multi["mesh"] == {"data": 4, "model": 2}
     # same global batch, same init seed: losses agree to numerical noise
