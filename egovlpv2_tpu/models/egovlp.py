@@ -27,6 +27,7 @@ from egovlpv2_tpu.core.config import ModelConfig
 from egovlpv2_tpu.models.heads import ITMHead, MLMHead, Pooler
 from egovlpv2_tpu.models.text import TextEncoder
 from egovlpv2_tpu.models.video import SpaceTimeViT, _trunc_normal
+from egovlpv2_tpu.ops.layernorm import LayerNorm as FusedLayerNorm
 from egovlpv2_tpu.ops.attention import make_additive_mask
 
 
@@ -93,7 +94,7 @@ class EgoVLPv2(nn.Module):
                 "cls_token", nn.initializers.zeros, (1, 1, cfg.video.embed_dim),
                 jnp.float32,
             )
-            self.fused_norm = nn.LayerNorm(
+            self.fused_norm = FusedLayerNorm(
                 epsilon=cfg.fusion.ln_eps, dtype=dtype, name="norm"
             )
             self.cross_modal_text_transform = nn.Dense(

@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from egovlpv2_tpu.ops.layernorm import LayerNorm as FusedLayerNorm
+
 
 class Pooler(nn.Module):
     """dense + tanh over an already-pooled feature (heads.py:15-25; note the
@@ -43,7 +45,7 @@ class MLMHead(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="transform_dense")(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="transform_LayerNorm")(x)
+        x = FusedLayerNorm(epsilon=1e-12, dtype=self.dtype, name="transform_LayerNorm")(x)
         logits = nn.Dense(
             self.vocab_size, use_bias=False, dtype=self.dtype, name="decoder"
         )(x)

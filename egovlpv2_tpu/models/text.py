@@ -32,6 +32,7 @@ from flax import linen as nn
 
 from egovlpv2_tpu.core.config import FusionConfig, TextEncoderConfig
 from egovlpv2_tpu.ops.attention import attend, make_additive_mask, split_heads, merge_heads
+from egovlpv2_tpu.ops.layernorm import LayerNorm as FusedLayerNorm
 
 
 def create_position_ids(input_ids: jax.Array, padding_idx: int) -> jax.Array:
@@ -57,7 +58,7 @@ class TextEmbeddings(nn.Module):
         x = word + ttype + pos
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="LayerNorm")(x)
+        x = FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="LayerNorm")(x)
         return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
 
@@ -127,7 +128,7 @@ class TextLayer(nn.Module):
             attn_out = alpha.astype(attn_out.dtype) * cross + attn_out
 
         # Post-LN over (self + gated cross + residual), roberta.py:488.
-        attn_out = nn.LayerNorm(
+        attn_out = FusedLayerNorm(
             epsilon=cfg.ln_eps, dtype=self.dtype, name="attention_LayerNorm"
         )(attn_out + hidden)
 
@@ -139,13 +140,13 @@ class TextLayer(nn.Module):
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         out = out + attn_out
         if last_norm:
-            out = nn.LayerNorm(
+            out = FusedLayerNorm(
                 epsilon=cfg.ln_eps, dtype=self.dtype, name="output_LayerNorm"
             )(out)
         else:
             # Params must exist regardless of the flag so checkpoints are
             # structure-stable; evaluate lazily only for the flag branch.
-            nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="output_LayerNorm")(
+            FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="output_LayerNorm")(
                 jax.lax.stop_gradient(out[:1, :1])
             )
         return out

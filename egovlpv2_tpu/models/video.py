@@ -35,6 +35,7 @@ from egovlpv2_tpu.core.config import (NORM_STATS, FusionConfig,
                                       VideoEncoderConfig)
 from egovlpv2_tpu.ops.attention import attend
 from egovlpv2_tpu.ops.divided import divided_attention
+from egovlpv2_tpu.ops.layernorm import LayerNorm as FusedLayerNorm
 
 # on-device normalization regimes for uint8 video input (see patchify)
 _UINT8_NORM = NORM_STATS
@@ -139,7 +140,7 @@ class DividedAttention(nn.Module):
             st = text.shape[1]
             kv_t = kv_t.reshape(b, st, 2, h, dh).transpose(2, 0, 3, 1, 4)
             k_t, v_t = kv_t[0], kv_t[1]
-            xq = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm_i2t_i")(x)
+            xq = FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm_i2t_i")(x)
             q_t = nn.Dense(d, use_bias=cfg.qkv_bias, dtype=self.dtype, name="qkv_i2t")(xq)
             q_t = q_t.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
             y = attend(q_t, k_t, v_t, scale=scale, bias=text_bias, impl=self.attn_impl)
@@ -169,7 +170,7 @@ class SpaceTimeBlock(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
+        ln = lambda name: FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
         time_out = DividedAttention(
             cfg, self.fusion, axis="time", fused=False, zero_init=True,
             dtype=self.dtype, attn_impl=self.attn_impl, name="timeattn",
@@ -277,7 +278,7 @@ class SpaceTimeViT(nn.Module):
             )
             for i in range(cfg.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm")
+        self.norm = FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name="norm")
         self.pos_drop = nn.Dropout(cfg.drop_rate)
 
     def patchify(self, video: jax.Array) -> jax.Array:
