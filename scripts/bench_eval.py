@@ -20,6 +20,7 @@ fetch per step, >=3 warmup steps, best-of over timed repeats.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -217,6 +218,141 @@ def bench_extract(video_frames=600, num_frames=4, inner_batch=64):
                        "video_ms": round(dt * 1000, 1)}}
 
 
+def _write_looped_egoclip(root, uids=8, rows_per_uid=32, res=256, fps=30,
+                          seconds=8):
+    """Chunked EgoClip-layout mp4s + metadata, sized so a feed bench can
+    stream a few hundred distinct clips from disk (the 'small looped set'
+    of real video: same on-disk layout the production loader reads)."""
+    import cv2
+
+    data = os.path.join(root, "videos")
+    header = ("video_uid\tnarration_time\tclip_start\tclip_end\tclip_text"
+              "\ttag_noun\ttag_verb")
+    rows = [header]
+    rs = np.random.RandomState(0)
+    for u in range(uids):
+        uid = f"vid_{u:02d}"
+        d = os.path.join(data, uid)
+        os.makedirs(d, exist_ok=True)
+        w = cv2.VideoWriter(os.path.join(d, "0.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"), fps, (res, res))
+        frame = rs.randint(0, 255, (res, res, 3), np.uint8)
+        for _ in range(fps * seconds):
+            # cheap temporal variation; content doesn't matter for timing
+            frame = np.roll(frame, 7, axis=1)
+            w.write(frame)
+        w.release()
+        span = seconds - 1.2
+        for i in range(rows_per_uid):
+            t0 = 0.2 + (i / max(rows_per_uid - 1, 1)) * span
+            rows.append(f"{uid}\t{t0:.2f}\t{t0:.2f}\t{t0 + 1.0:.2f}\t"
+                        f"c does action {i}\t[{i % 40}]\t[{i % 10}]")
+    meta = os.path.join(root, "egoclip.csv")
+    with open(meta, "w") as f:
+        f.write("\n".join(rows))
+    return meta, data
+
+
+def bench_pretrain_feed(batch=16, timed=12, workers=6, tiny=False):
+    """Feed-INCLUSIVE pretrain clips/s: chunked mp4s on disk -> the
+    production loader (threaded cv2 decode, geometric transforms, uint8
+    device_norm feed, MLM collate, prefetch=2) -> the real flagship train
+    step on the chip. The reference's hot loop includes DataLoader decode
+    (SURVEY §3.1); bench.py's synthetic number excludes it — this measures
+    the gap. Same step discipline as bench.py (depth-1 pipelined fetch)."""
+    import tempfile
+
+    from egovlpv2_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
+    from egovlpv2_tpu.data.datasets import EgoClipDataset
+    from egovlpv2_tpu.data.loader import DataLoader, Tokenizer, pretrain_post_fn
+    from egovlpv2_tpu.parallel.mesh import make_mesh, shard_batch
+    from egovlpv2_tpu.tasks.pretrain import build_pretrain
+
+    if tiny:  # CPU smoke lane (tests): 8 virtual devices, toy dims
+        from egovlpv2_tpu.tasks.pretrain import tiny_train_config
+
+        cfg = tiny_train_config()
+        res = cfg.model.video.img_size
+    else:
+        cfg = TrainConfig(
+            model=ModelConfig(compute_dtype="bfloat16", remat=False),
+            optim=OptimConfig(max_steps=1000),
+        )
+        res = cfg.model.video.img_size  # 224
+    cfg = dataclasses.replace(cfg, global_batch_size=batch)
+
+    root = tempfile.mkdtemp(prefix="feed_bench_")
+    n_clips = batch * (timed + 4)
+    meta, data = _write_looped_egoclip(
+        root, uids=8, rows_per_uid=-(-n_clips // 8),
+        res=256 if not tiny else max(res, 64))
+    ds = EgoClipDataset(meta, data, num_frames=cfg.model.video.num_frames,
+                        input_res=res, neg_param=None, device_norm=True)
+    tok = Tokenizer("roberta-base", max_len=cfg.max_text_len,
+                    vocab_cap=cfg.model.text.vocab_size)
+    loader = DataLoader(ds, batch, num_workers=workers,
+                        post_fn=pretrain_post_fn(tok, cfg.mlm_prob))
+
+    mesh = make_mesh((-1, 1), ("data", "model"))
+    with mesh:
+        model, init_state = build_pretrain(cfg, mesh=mesh)
+        it = loader.epoch(0)
+        first = next(it)
+        state, step_fn = init_state(first)
+        dev0 = shard_batch(first, mesh)
+        for _ in range(3):  # compile + allocator warmup on a resident batch
+            state, m = step_fn(state, dev0)
+            float(m["loss_total"])
+
+        # timed: stream fresh batches through decode -> H2D -> step with the
+        # loss fetched one step behind (same overlap a training loop gets)
+        n = 0
+        prev = None
+        t0 = time.perf_counter()
+        for b in it:
+            state, m = step_fn(state, shard_batch(b, mesh))
+            if prev is not None:
+                float(prev["loss_total"])
+            prev = m
+            n += 1
+            if n >= timed:
+                break
+        loss = float(prev["loss_total"])
+        dt = time.perf_counter() - t0
+
+        # synthetic resident-batch reference in the SAME process/config
+        # (uint8 feed): isolates the decode+transfer share
+        rs = np.random.RandomState(1)
+        v = cfg.model.video
+        synth = dict(first)
+        synth["video"] = rs.randint(
+            0, 256, (batch, v.num_frames, res, res, 3)).astype(np.uint8)
+        dev_s = shard_batch(synth, mesh)
+        for _ in range(2):
+            state, m = step_fn(state, dev_s)
+            float(m["loss_total"])
+        t1 = time.perf_counter()
+        prev = None
+        for _ in range(timed):
+            state, m = step_fn(state, dev_s)
+            if prev is not None:
+                float(prev["loss_total"])
+            prev = m
+        float(prev["loss_total"])
+        dt_s = time.perf_counter() - t1
+
+    feed_cps = batch * timed / dt
+    synth_cps = batch * timed / dt_s
+    return {"metric": "pretrain_feed_clips_per_sec_per_chip",
+            "value": round(feed_cps, 2), "unit": "clips/s",
+            "detail": {"batch": batch, "timed_steps": timed,
+                       "workers": workers,
+                       "step_ms": round(1000 * dt / timed, 1),
+                       "synthetic_resident_clips_per_sec": round(synth_cps, 2),
+                       "feed_vs_synthetic": round(feed_cps / synth_cps, 3),
+                       "loss": loss}}
+
+
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else ""
     benches = [
@@ -227,6 +363,9 @@ def main():
         ("extract", bench_extract),
         ("feed_f32", lambda: bench_egomcq_feed(dtype="f32")),
         ("feed_uint8", lambda: bench_egomcq_feed(dtype="uint8")),
+        # named so the queued `bench_eval.py feed` (MCQ transfer bench)
+        # doesn't also pull this heavier run
+        ("pretrain_realdata", bench_pretrain_feed),
     ]
     for name, fn in benches:
         if only and only not in name:
