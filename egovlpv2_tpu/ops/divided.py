@@ -145,6 +145,23 @@ def _space_fb(axis: str, s: int) -> bool:
 _PACKED_LONG = _os.environ.get("EGOVLP_PACKED_LONG", "1") == "1"
 _LONG_BUDGET = 5_000_000
 
+# Column-chunked time kernels for F > _TIME_FP_MAX_F (the 16/32-frame
+# long-S workloads): the frame-pair math with the frame axis vectorized
+# into a [F, C, Dh] VMEM slab per column chunk — O(F) unrolled ops instead
+# of the frame-pair kernels' O(F^2), and a per-chunk f32 working set
+# (~4*F*C*Dh) that fits scoped VMEM at any S. Replaces the dense
+# [block_q, S] tile loop on the forward (which wastes ~S/(F+1) of its key
+# FLOPs on the time axis: ~180x at 16 frames) and the transpose-heavy XLA
+# vjp on the backward (~250 ms of copies in the 32f step profile,
+# docs/ROUND3_NOTES.md). Default ON only after the chip step-bench
+# confirms the win (docs/ROUND4_NOTES.md) — flip via EGOVLP_TIME_COL.
+_TIME_COL = _os.environ.get("EGOVLP_TIME_COL", "0") == "1"
+_TIME_COL_BLOCK = int(_os.environ.get("EGOVLP_TIME_COL_BLOCK", "128"))
+
+
+def _time_col(axis: str, num_frames: int) -> bool:
+    return axis == "time" and num_frames > _TIME_FP_MAX_F and _TIME_COL
+
 
 def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
     """Frame-pair time attention for one head. q_slabs[f] = frame f's
@@ -646,6 +663,11 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                                 v_ref[0, :, sl], bias8, scale)
             o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
         return
+    if _time_col(axis, num_frames):
+        _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, scale=scale,
+                             n_patches=n_patches, num_frames=num_frames,
+                             hp=hp, dh=dh)
+        return
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
         # masks are shared by all heads in the program
@@ -690,6 +712,11 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                             dv_ref, scale=scale, axis=axis,
                             n_patches=n_patches, num_frames=num_frames,
                             hp=hp, dh=dh)
+        return
+    if _time_col(axis, num_frames):
+        _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                             dv_ref, scale=scale, n_patches=n_patches,
+                             num_frames=num_frames, hp=hp, dh=dh)
         return
     # tile-outer / head-inner: the mask is built once per query tile and
     # shared by all heads; dk/dv accumulate per head across tiles
@@ -852,6 +879,140 @@ def _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
 
 
+def _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, *, scale, n_patches,
+                         num_frames, hp, dh):
+    """Column-chunked time forward for long sequences (see _TIME_COL).
+
+    Per head and column chunk [c0, c0+C): the F key/value slabs are stacked
+    once into [F, C, Dh] f32, then each query frame f runs one vectorized
+    rowwise-dot against ALL frames (q_f[None] * K3, lane reduce) — the same
+    per-column softmax over F+1 logits as `_time_fp_attend`, without the
+    O(F^2) slab-pair unroll. The CLS row (dense over all S keys) runs as
+    the standard 8-row pass at the end."""
+    s = q_ref.shape[1]
+    n, F = n_patches, num_frames
+    for j in range(hp):
+        sl = slice(j * dh, (j + 1) * dh)
+        k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
+        v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+        for c0 in range(0, n, _TIME_COL_BLOCK):
+            c = min(_TIME_COL_BLOCK, n - c0)
+            k3 = jnp.stack(
+                [k_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
+                 .astype(jnp.float32) for g in range(F)])
+            v3 = jnp.stack(
+                [v_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
+                 .astype(jnp.float32) for g in range(F)])
+            for f in range(F):
+                rows = slice(1 + f * n + c0, 1 + f * n + c0 + c)
+                q = q_ref[0, rows, sl].astype(jnp.float32)      # [C, Dh]
+                lg = jnp.sum(q[None] * k3, -1, keepdims=True) * scale
+                l0 = jnp.sum(q * k0, -1, keepdims=True) * scale  # [C, 1]
+                m = jnp.maximum(jnp.max(lg, axis=0), l0)         # [C, 1]
+                e = jnp.exp(lg - m[None])                        # [F, C, 1]
+                e0 = jnp.exp(l0 - m)
+                den = jnp.sum(e, axis=0) + e0
+                out = (jnp.sum(e * v3, axis=0) + e0 * v0) / den
+                o_ref[0, rows, sl] = out.astype(o_ref.dtype)
+    # CLS row attends the full sequence; rows 1..7 recompute their grouped
+    # result (frame 0, columns 0..6) so the 8-row store stays aligned.
+    bias8 = _mask_bias(0, 8, s, "time", n)
+    for j in range(hp):
+        sl = slice(j * dh, (j + 1) * dh)
+        out8 = _tile_attend(q_ref[0, 0:8, sl], k_ref[0, :, sl],
+                            v_ref[0, :, sl], bias8, scale)
+        o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
+
+
+def _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                         *, scale, n_patches, num_frames, hp, dh):
+    """Backward of `_packed_fwd_time_col`: recompute the per-column softmax
+    chunk by chunk (stats are cheap rowwise dots), accumulate dk/dv into
+    [F, C, Dh] f32 slabs across the query-frame loop, and add the CLS-row
+    dense pass's dk/dv seeds (identical math to `_packed_bwd_time_fp`'s
+    per-head CLS pass) at store time."""
+    s = q_ref.shape[1]
+    n, F = n_patches, num_frames
+    bias8 = _mask_bias(0, 8, s, "time", n)
+    for j in range(hp):
+        sl = slice(j * dh, (j + 1) * dh)
+        kfull = k_ref[0, :, sl]
+        vfull = v_ref[0, :, sl]
+        # ---- CLS-row dense pass (only row 0's cotangent participates) ----
+        q8 = q_ref[0, 0:8, sl]
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+        g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
+        logits8 = jax.lax.dot_general(
+            q8, kfull, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias8
+        m8 = jnp.max(logits8, -1, keepdims=True)
+        p8 = jnp.exp(logits8 - m8)
+        p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+        dvd = jax.lax.dot_general(  # [S, Dh] f32, all rows
+            p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp8 = jax.lax.dot_general(
+            g8, vfull, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+        ds8_c = ds8.astype(kfull.dtype)
+        dq8 = scale * jax.lax.dot_general(
+            ds8_c, kfull, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkd = scale * jax.lax.dot_general(
+            ds8_c, q8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # ---- column-chunked main pass ----
+        k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
+        v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+        dk0 = jnp.zeros((1, dh), jnp.float32)
+        dv0 = jnp.zeros((1, dh), jnp.float32)
+        for c0 in range(0, n, _TIME_COL_BLOCK):
+            c = min(_TIME_COL_BLOCK, n - c0)
+            k3 = jnp.stack(
+                [k_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
+                 .astype(jnp.float32) for g in range(F)])
+            v3 = jnp.stack(
+                [v_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
+                 .astype(jnp.float32) for g in range(F)])
+            dk3 = jnp.zeros((F, c, dh), jnp.float32)
+            dv3 = jnp.zeros((F, c, dh), jnp.float32)
+            for f in range(F):
+                rows = slice(1 + f * n + c0, 1 + f * n + c0 + c)
+                q = q_ref[0, rows, sl].astype(jnp.float32)
+                gout = g_ref[0, rows, sl].astype(jnp.float32)
+                lg = jnp.sum(q[None] * k3, -1, keepdims=True) * scale
+                l0 = jnp.sum(q * k0, -1, keepdims=True) * scale
+                m = jnp.maximum(jnp.max(lg, axis=0), l0)
+                e = jnp.exp(lg - m[None])
+                e0 = jnp.exp(l0 - m)
+                den = jnp.sum(e, axis=0) + e0
+                ps = e / den[None]                               # [F, C, 1]
+                p0 = e0 / den                                    # [C, 1]
+                dpg = jnp.sum(gout[None] * v3, -1, keepdims=True)
+                dp0 = jnp.sum(gout * v0, -1, keepdims=True)
+                dot = jnp.sum(dpg * ps, axis=0) + dp0 * p0       # [C, 1]
+                ds3 = (dpg - dot[None]) * ps
+                ds0 = (dp0 - dot) * p0
+                dq = (jnp.sum(ds3 * k3, axis=0) + ds0 * k0) * scale
+                dq_ref[0, rows, sl] = dq.astype(dq_ref.dtype)
+                dk3 = dk3 + ds3 * q[None]
+                dv3 = dv3 + ps * gout[None]
+                dk0 = dk0 + jnp.sum(ds0 * q, axis=0, keepdims=True)
+                dv0 = dv0 + jnp.sum(p0 * gout, axis=0, keepdims=True)
+            for g in range(F):
+                rows = slice(1 + g * n + c0, 1 + g * n + c0 + c)
+                dk_ref[0, rows, sl] = (
+                    dk3[g] * scale + dkd[rows]).astype(dk_ref.dtype)
+                dv_ref[0, rows, sl] = (
+                    dv3[g] + dvd[rows]).astype(dv_ref.dtype)
+        # row 0: CLS query grad (dq8 rows 1..7 are zero) + CLS key/value
+        # grads from both passes
+        dq_ref[0, 0:1, sl] = dq8[0:1].astype(dq_ref.dtype)
+        dk_ref[0, 0:1, sl] = (dk0 * scale + dkd[0:1]).astype(dk_ref.dtype)
+        dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
+
+
 def _packed_specs(s: int, h: int, dh: int, hp: int):
     """q/k/v lane-block views into the [B, S, 3*H*Dh] projection output."""
     groups = h // hp
@@ -934,7 +1095,9 @@ def _packed_fwd(qkv_flat, scale, axis, num_frames, h, dh, hp, hp_bwd):
 
 def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
     b, s, _ = qkv_flat.shape
-    if s > _PACKED_MAX_S and axis == "time" and not _time_fp(axis, num_frames):
+    if (s > _PACKED_MAX_S and axis == "time"
+            and not _time_fp(axis, num_frames)
+            and not _time_col(axis, num_frames)):
         # long-sequence TIME backward: the in-kernel dense recompute
         # measured SLOWER than XLA's grouped vjp (5.14 vs ~3.8 ms fwd+bwd
         # at [4,3137,12,64]) — the [block_q, S] f32 intermediates defeat

@@ -81,17 +81,21 @@ def _bwd_kernel(x_ref, scale_ref, g_ref, dx_ref, dsc_ref, dbi_ref, *,
 
     # boundary tiles read rows past n_rows as padding garbage: rowwise dx
     # stores are dropped by pallas, but the dscale/dbias SUMS would absorb
-    # them — mask by global row index
+    # them — select by global row index. Must be a where(), NOT a *0.0
+    # multiply: padding rows can hold inf/NaN bit patterns and NaN*0=NaN
+    # (measured on-chip: the multiply variant NaN'd the train loss).
     row = i * br + jax.lax.broadcasted_iota(jnp.int32, (br, d), 0)
-    valid = (row < n_rows).astype(jnp.float32)
+    valid = row < n_rows
 
     @pl.when(i == 0)
     def _init():
         dsc_ref[...] = jnp.zeros(dsc_ref.shape, dsc_ref.dtype)
         dbi_ref[...] = jnp.zeros(dbi_ref.shape, dbi_ref.dtype)
 
-    dsc_ref[...] += jnp.sum(g * xhat * valid, axis=0, keepdims=True)
-    dbi_ref[...] += jnp.sum(g * valid, axis=0, keepdims=True)
+    zero = jnp.zeros((), jnp.float32)
+    dsc_ref[...] += jnp.sum(jnp.where(valid, g * xhat, zero), axis=0,
+                            keepdims=True)
+    dbi_ref[...] += jnp.sum(jnp.where(valid, g, zero), axis=0, keepdims=True)
 
 
 def _rows_spec(br, d):

@@ -285,6 +285,47 @@ def test_gradients_long_sequence_flat_bwd(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("case", [
+    # (B, F, N, H, Dh): F > _TIME_FP_MAX_F so the col branch engages.
+    # n=150 does not divide the 128-column chunk (boundary chunk of 22);
+    # the F=16 case crosses _PACKED_MAX_S (S=2401) so the custom-VJP
+    # dispatcher routes the backward in-kernel rather than to the XLA vjp.
+    (1, 16, 150, 2, 64),
+    (1, 32, 24, 2, 64),
+])
+def test_time_col_forward_and_gradients(case, monkeypatch):
+    """EGOVLP_TIME_COL: column-chunked long-S time kernel (fwd + bwd) vs
+    grad-of-xla, including the CLS splice and chunk-boundary columns."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_COL", True)
+    b, f, n, h, dh = case
+    s = 1 + f * n
+    rs = np.random.RandomState(11)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    ref_fwd = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
+                                impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got_fwd = divided_attention(qkv, scale=scale, axis="time",
+                                    num_frames=f, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("axis", ["space", "time"])
 def test_degenerate_tiny_s_falls_back(axis):
     """S < 16 (e.g. 2 frames x 2 patches, S=5) has no kernel tile: the
