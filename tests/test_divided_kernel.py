@@ -292,6 +292,10 @@ def test_gradients_long_sequence_flat_bwd(monkeypatch):
     # dispatcher routes the backward in-kernel rather than to the XLA vjp.
     (1, 16, 150, 2, 64),
     (1, 32, 24, 2, 64),
+    # the pretrain frame count (short-S packed route) — covers the
+    # EGOVLP_TIME_FP_MAX_F=0 + EGOVLP_TIME_COL=1 chip experiment that
+    # routes F=4 to the col kernel instead of the frame-pair one
+    (2, 4, 150, 2, 64),
 ])
 def test_time_col_forward_and_gradients(case, monkeypatch):
     """EGOVLP_TIME_COL: column-chunked long-S time kernel (fwd + bwd) vs
@@ -299,6 +303,7 @@ def test_time_col_forward_and_gradients(case, monkeypatch):
     from egovlpv2_tpu.ops import divided
 
     monkeypatch.setattr(divided, "_TIME_COL", True)
+    monkeypatch.setattr(divided, "_TIME_FP_MAX_F", 0)
     b, f, n, h, dh = case
     s = 1 + f * n
     rs = np.random.RandomState(11)
