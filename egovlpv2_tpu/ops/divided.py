@@ -119,12 +119,14 @@ def _time_fp(axis: str, num_frames: int) -> bool:
 
 
 # All-heads MXU segmented-reduce formulation of the frame-pair kernels
-# (see _time_fp_attend_mxu). Microbenches 1.7x FASTER than the per-head
-# lane-reduce loop ([16,785,12,64]: fwd 0.92 -> 0.51 ms, fwd+bwd 1.75 ->
-# 1.03 ms) yet REGRESSES the end-to-end pretrain step by ~50 ms
-# (380.6 vs 329.4 ms @ batch 16) — same in-context pathology as the
-# round-3 config-B experiment. Off by default; trust the step bench.
-_TIME_FP_MXU = _os.environ.get("EGOVLP_TIME_FP_MXU", "0") == "1"
+# (see _time_fp_attend_mxu). Microbenches 1.8x FASTER than the per-head
+# lane-reduce loop ([16,785,12,64]: fwd 0.57 -> 0.44 ms, fwd+bwd 1.84 ->
+# 1.02 ms) and wins the end-to-end pretrain step bench twice in a row
+# (299.3 / 298.3 ms vs 327.8 default @ batch 16 -> 53.5 clips/s/chip,
+# docs/ROUND4_NOTES.md). Round 3 measured it ~50 ms SLOWER end-to-end;
+# that reading was a tunnel anomaly (same session produced a 19 ms
+# microbench outlier on an env-independent XLA case). Default ON.
+_TIME_FP_MXU = _os.environ.get("EGOVLP_TIME_FP_MXU", "1") == "1"
 
 
 # Frame-block space tiles inside the PACKED kernels too (same ~N/S FLOP cut

@@ -285,6 +285,32 @@ def test_gradients_long_sequence_flat_bwd(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_gradients_time_fp_lane_reduce(monkeypatch):
+    """The per-head lane-reduce frame-pair variant (EGOVLP_TIME_FP_MXU=0)
+    stays parity-covered now that the MXU segmented-reduce formulation is
+    the default (round-4 step bench: 299 vs 328 ms, docs/ROUND4_NOTES.md)."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_FP_MXU", False)
+    b, f, n, h, dh = CASES[0]
+    s = 1 + f * n
+    rs = np.random.RandomState(7)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("case", [
     # (B, F, N, H, Dh): F > _TIME_FP_MAX_F so the col branch engages.
     # n=150 does not divide the 128-column chunk (boundary chunk of 22);
