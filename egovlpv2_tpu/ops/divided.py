@@ -885,12 +885,16 @@ def _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, *, scale, n_patches,
                          num_frames, hp, dh):
     """Column-chunked time forward for long sequences (see _TIME_COL).
 
-    Per head and column chunk [c0, c0+C): the F key/value slabs are stacked
-    once into [F, C, Dh] f32, then each query frame f runs one vectorized
-    rowwise-dot against ALL frames (q_f[None] * K3, lane reduce) — the same
-    per-column softmax over F+1 logits as `_time_fp_attend`, without the
-    O(F^2) slab-pair unroll. The CLS row (dense over all S keys) runs as
-    the standard 8-row pass at the end."""
+    Loop-structured (NOT Python-unrolled over frames — the unrolled slab
+    variant produced Mosaic programs whose compile blew up at F=16/32,
+    docs/ROUND4_NOTES.md): per head and column chunk [c0, c0+C), a
+    `fori_loop` over query frames f streams an online softmax over the F
+    key frames (running max / denominator / rescaled value accumulator) —
+    the same per-column softmax over F+1 logits as `_time_fp_attend`,
+    with a compile size independent of F and no [F, C, Dh] slab copies.
+    Logits are rowwise dots at dynamic sublane offsets (same patch index
+    on both sides). The CLS row (dense over all S keys) runs as the
+    standard 8-row pass at the end."""
     s = q_ref.shape[1]
     n, F = n_patches, num_frames
     for j in range(hp):
@@ -899,23 +903,32 @@ def _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, *, scale, n_patches,
         v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
         for c0 in range(0, n, _TIME_COL_BLOCK):
             c = min(_TIME_COL_BLOCK, n - c0)
-            k3 = jnp.stack(
-                [k_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
-                 .astype(jnp.float32) for g in range(F)])
-            v3 = jnp.stack(
-                [v_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
-                 .astype(jnp.float32) for g in range(F)])
-            for f in range(F):
-                rows = slice(1 + f * n + c0, 1 + f * n + c0 + c)
-                q = q_ref[0, rows, sl].astype(jnp.float32)      # [C, Dh]
-                lg = jnp.sum(q[None] * k3, -1, keepdims=True) * scale
-                l0 = jnp.sum(q * k0, -1, keepdims=True) * scale  # [C, 1]
-                m = jnp.maximum(jnp.max(lg, axis=0), l0)         # [C, 1]
-                e = jnp.exp(lg - m[None])                        # [F, C, 1]
-                e0 = jnp.exp(l0 - m)
-                den = jnp.sum(e, axis=0) + e0
-                out = (jnp.sum(e * v3, axis=0) + e0 * v0) / den
-                o_ref[0, rows, sl] = out.astype(o_ref.dtype)
+
+            def fbody(f, _, sl=sl, c0=c0, c=c, k0=k0, v0=v0):
+                r0 = 1 + f * n + c0
+                q = q_ref[0, pl.ds(r0, c), sl].astype(jnp.float32)  # [C, Dh]
+                l0 = jnp.sum(q * k0, -1, keepdims=True) * scale     # [C, 1]
+
+                def gbody(g, carry):
+                    m, den, acc = carry
+                    rg = 1 + g * n + c0
+                    kg = k_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                    vg = v_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                    lg = jnp.sum(q * kg, -1, keepdims=True) * scale
+                    mn = jnp.maximum(m, lg)
+                    r = jnp.exp(m - mn)
+                    e = jnp.exp(lg - mn)
+                    return mn, den * r + e, acc * r + e * vg
+
+                # init = the CLS term at m=l0 (e0 == 1); the running max
+                # rescales it as larger frame logits arrive
+                m, den, acc = jax.lax.fori_loop(
+                    0, F, gbody,
+                    (l0, jnp.ones_like(l0), jnp.ones_like(l0) * v0))
+                o_ref[0, pl.ds(r0, c), sl] = (acc / den).astype(o_ref.dtype)
+                return 0
+
+            jax.lax.fori_loop(0, F, fbody, 0)
     # CLS row attends the full sequence; rows 1..7 recompute their grouped
     # result (frame 0, columns 0..6) so the 8-row store stays aligned.
     bias8 = _mask_bias(0, 8, s, "time", n)
@@ -928,91 +941,131 @@ def _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, *, scale, n_patches,
 
 def _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                          *, scale, n_patches, num_frames, hp, dh):
-    """Backward of `_packed_fwd_time_col`: recompute the per-column softmax
-    chunk by chunk (stats are cheap rowwise dots), accumulate dk/dv into
-    [F, C, Dh] f32 slabs across the query-frame loop, and add the CLS-row
-    dense pass's dk/dv seeds (identical math to `_packed_bwd_time_fp`'s
-    per-head CLS pass) at store time."""
+    """Backward of `_packed_fwd_time_col`, loop-structured like the forward
+    (the unrolled slab variant killed the Mosaic compile at F=32 —
+    `tpu_compile_helper` crashed after ~26 min, docs/ROUND4_NOTES.md).
+
+    Per head and column chunk, a `fori_loop` over query frames f runs two
+    passes over the F key frames: pass 1 streams the online softmax stats
+    (running max, denominator, and the e-weighted dot-term numerator
+    `sum_g dp_g*e_g` — rescaled together), pass 2 recomputes p/ds per key
+    frame at the now-fixed stats, accumulates dq, and scatters per-frame
+    dk/dv contributions into `pl.run_scoped` [F, C, Dh] f32 VMEM slabs at
+    the dynamic frame index. The CLS-row dense pass's dk/dv seeds
+    (identical math to `_packed_bwd_time_fp`'s per-head CLS pass) are
+    added at writeback time."""
     s = q_ref.shape[1]
     n, F = n_patches, num_frames
     bias8 = _mask_bias(0, 8, s, "time", n)
-    for j in range(hp):
-        sl = slice(j * dh, (j + 1) * dh)
-        kfull = k_ref[0, :, sl]
-        vfull = v_ref[0, :, sl]
-        # ---- CLS-row dense pass (only row 0's cotangent participates) ----
-        q8 = q_ref[0, 0:8, sl]
-        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-        g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
-        logits8 = jax.lax.dot_general(
-            q8, kfull, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + bias8
-        m8 = jnp.max(logits8, -1, keepdims=True)
-        p8 = jnp.exp(logits8 - m8)
-        p8 = p8 / jnp.sum(p8, -1, keepdims=True)
-        dvd = jax.lax.dot_general(  # [S, Dh] f32, all rows
-            p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp8 = jax.lax.dot_general(
-            g8, vfull, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
-        ds8_c = ds8.astype(kfull.dtype)
-        dq8 = scale * jax.lax.dot_general(
-            ds8_c, kfull, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dkd = scale * jax.lax.dot_general(
-            ds8_c, q8, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        # ---- column-chunked main pass ----
-        k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
-        v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
-        dk0 = jnp.zeros((1, dh), jnp.float32)
-        dv0 = jnp.zeros((1, dh), jnp.float32)
-        for c0 in range(0, n, _TIME_COL_BLOCK):
-            c = min(_TIME_COL_BLOCK, n - c0)
-            k3 = jnp.stack(
-                [k_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
-                 .astype(jnp.float32) for g in range(F)])
-            v3 = jnp.stack(
-                [v_ref[0, 1 + g * n + c0:1 + g * n + c0 + c, sl]
-                 .astype(jnp.float32) for g in range(F)])
-            dk3 = jnp.zeros((F, c, dh), jnp.float32)
-            dv3 = jnp.zeros((F, c, dh), jnp.float32)
-            for f in range(F):
-                rows = slice(1 + f * n + c0, 1 + f * n + c0 + c)
-                q = q_ref[0, rows, sl].astype(jnp.float32)
-                gout = g_ref[0, rows, sl].astype(jnp.float32)
-                lg = jnp.sum(q[None] * k3, -1, keepdims=True) * scale
-                l0 = jnp.sum(q * k0, -1, keepdims=True) * scale
-                m = jnp.maximum(jnp.max(lg, axis=0), l0)
-                e = jnp.exp(lg - m[None])
-                e0 = jnp.exp(l0 - m)
-                den = jnp.sum(e, axis=0) + e0
-                ps = e / den[None]                               # [F, C, 1]
-                p0 = e0 / den                                    # [C, 1]
-                dpg = jnp.sum(gout[None] * v3, -1, keepdims=True)
-                dp0 = jnp.sum(gout * v0, -1, keepdims=True)
-                dot = jnp.sum(dpg * ps, axis=0) + dp0 * p0       # [C, 1]
-                ds3 = (dpg - dot[None]) * ps
-                ds0 = (dp0 - dot) * p0
-                dq = (jnp.sum(ds3 * k3, axis=0) + ds0 * k0) * scale
-                dq_ref[0, rows, sl] = dq.astype(dq_ref.dtype)
-                dk3 = dk3 + ds3 * q[None]
-                dv3 = dv3 + ps * gout[None]
-                dk0 = dk0 + jnp.sum(ds0 * q, axis=0, keepdims=True)
-                dv0 = dv0 + jnp.sum(p0 * gout, axis=0, keepdims=True)
-            for g in range(F):
-                rows = slice(1 + g * n + c0, 1 + g * n + c0 + c)
-                dk_ref[0, rows, sl] = (
-                    dk3[g] * scale + dkd[rows]).astype(dk_ref.dtype)
-                dv_ref[0, rows, sl] = (
-                    dv3[g] + dvd[rows]).astype(dv_ref.dtype)
-        # row 0: CLS query grad (dq8 rows 1..7 are zero) + CLS key/value
-        # grads from both passes
-        dq_ref[0, 0:1, sl] = dq8[0:1].astype(dq_ref.dtype)
-        dk_ref[0, 0:1, sl] = (dk0 * scale + dkd[0:1]).astype(dk_ref.dtype)
-        dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
+    cb = min(_TIME_COL_BLOCK, n)
+
+    def scoped(dk3_ref, dv3_ref):
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+            kfull = k_ref[0, :, sl]
+            vfull = v_ref[0, :, sl]
+            # ---- CLS-row dense pass (only row 0's cotangent participates)
+            q8 = q_ref[0, 0:8, sl]
+            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+            g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
+            logits8 = jax.lax.dot_general(
+                q8, kfull, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias8
+            m8 = jnp.max(logits8, -1, keepdims=True)
+            p8 = jnp.exp(logits8 - m8)
+            p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+            dvd = jax.lax.dot_general(  # [S, Dh] f32, all rows
+                p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp8 = jax.lax.dot_general(
+                g8, vfull, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+            ds8_c = ds8.astype(kfull.dtype)
+            dq8 = scale * jax.lax.dot_general(
+                ds8_c, kfull, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dkd = scale * jax.lax.dot_general(
+                ds8_c, q8, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # ---- column-chunked main pass ----
+            k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
+            v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+            dk0 = jnp.zeros((1, dh), jnp.float32)
+            dv0 = jnp.zeros((1, dh), jnp.float32)
+            for c0 in range(0, n, _TIME_COL_BLOCK):
+                c = min(_TIME_COL_BLOCK, n - c0)
+                dk3_ref[:, 0:c, :] = jnp.zeros((F, c, dh), jnp.float32)
+                dv3_ref[:, 0:c, :] = jnp.zeros((F, c, dh), jnp.float32)
+
+                def fbody(f, carry, sl=sl, c0=c0, c=c, k0=k0, v0=v0):
+                    dk0, dv0 = carry
+                    r0 = 1 + f * n + c0
+                    q = q_ref[0, pl.ds(r0, c), sl].astype(jnp.float32)
+                    gout = g_ref[0, pl.ds(r0, c), sl].astype(jnp.float32)
+                    l0 = jnp.sum(q * k0, -1, keepdims=True) * scale
+                    dp0 = jnp.sum(gout * v0, -1, keepdims=True)
+
+                    def g1(g_, carry1):
+                        m, den, dn = carry1
+                        rg = 1 + g_ * n + c0
+                        kg = k_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                        vg = v_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                        lg = jnp.sum(q * kg, -1, keepdims=True) * scale
+                        dp = jnp.sum(gout * vg, -1, keepdims=True)
+                        mn = jnp.maximum(m, lg)
+                        r = jnp.exp(m - mn)
+                        e = jnp.exp(lg - mn)
+                        return mn, den * r + e, dn * r + dp * e
+
+                    # init = the CLS term at m=l0 (e0 == 1)
+                    m, den, dn = jax.lax.fori_loop(
+                        0, F, g1, (l0, jnp.ones_like(l0), dp0))
+                    dot = dn / den                              # [C, 1]
+                    p0 = jnp.exp(l0 - m) / den
+                    ds0 = (dp0 - dot) * p0
+
+                    def g2(g_, dqacc):
+                        rg = 1 + g_ * n + c0
+                        kg = k_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                        vg = v_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                        lg = jnp.sum(q * kg, -1, keepdims=True) * scale
+                        p = jnp.exp(lg - m) / den
+                        dp = jnp.sum(gout * vg, -1, keepdims=True)
+                        ds = (dp - dot) * p
+                        dk3_ref[g_, 0:c, :] = dk3_ref[g_, 0:c, :] + ds * q
+                        dv3_ref[g_, 0:c, :] = dv3_ref[g_, 0:c, :] + p * gout
+                        return dqacc + ds * kg
+
+                    dqacc = jax.lax.fori_loop(0, F, g2, ds0 * k0)
+                    dq_ref[0, pl.ds(r0, c), sl] = (
+                        dqacc * scale).astype(dq_ref.dtype)
+                    return (dk0 + jnp.sum(ds0 * q, axis=0, keepdims=True),
+                            dv0 + jnp.sum(p0 * gout, axis=0, keepdims=True))
+
+                dk0, dv0 = jax.lax.fori_loop(0, F, fbody, (dk0, dv0))
+
+                def g3(g_, _, sl=sl, c0=c0, c=c, dkd=dkd, dvd=dvd):
+                    rg = 1 + g_ * n + c0
+                    dkd_c = jax.lax.dynamic_slice(dkd, (rg, 0), (c, dh))
+                    dvd_c = jax.lax.dynamic_slice(dvd, (rg, 0), (c, dh))
+                    dk_ref[0, pl.ds(rg, c), sl] = (
+                        dk3_ref[g_, 0:c, :] * scale + dkd_c
+                    ).astype(dk_ref.dtype)
+                    dv_ref[0, pl.ds(rg, c), sl] = (
+                        dv3_ref[g_, 0:c, :] + dvd_c).astype(dv_ref.dtype)
+                    return 0
+
+                jax.lax.fori_loop(0, F, g3, 0)
+            # row 0: CLS query grad (dq8 rows 1..7 are zero) + CLS key/value
+            # grads from both passes
+            dq_ref[0, 0:1, sl] = dq8[0:1].astype(dq_ref.dtype)
+            dk_ref[0, 0:1, sl] = (dk0 * scale + dkd[0:1]).astype(dk_ref.dtype)
+            dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
+
+    pl.run_scoped(scoped,
+                  pltpu.VMEM((F, cb, dh), jnp.float32),
+                  pltpu.VMEM((F, cb, dh), jnp.float32))
 
 
 def _packed_specs(s: int, h: int, dh: int, hp: int):
