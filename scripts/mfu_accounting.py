@@ -18,6 +18,6 @@ mlm_head = d2(tt, D, D) + d2(tt, D, 50265)
 fwd = 30 * vb + 36 * tb + 6 * (cross_v + cross_t) * 2 + patchify + mlm_head
 step = 3 * fwd
 PEAK = 197e12
-for ms in (376.0, 329.4):
+for ms in (376.0, 329.4, 298.8):
     print(f"{ms} ms: useful {step/1e12:.2f} TFLOP/step -> "
           f"{step/(ms/1e3)/1e12:.1f} TFLOP/s = {step/(ms/1e3)/PEAK*100:.1f}% MFU")
