@@ -148,15 +148,20 @@ _PACKED_LONG = _os.environ.get("EGOVLP_PACKED_LONG", "1") == "1"
 _LONG_BUDGET = 5_000_000
 
 # Column-chunked time kernels for F > _TIME_FP_MAX_F (the 16/32-frame
-# long-S workloads): the frame-pair math with the frame axis vectorized
-# into a [F, C, Dh] VMEM slab per column chunk — O(F) unrolled ops instead
-# of the frame-pair kernels' O(F^2), and a per-chunk f32 working set
-# (~4*F*C*Dh) that fits scoped VMEM at any S. Replaces the dense
-# [block_q, S] tile loop on the forward (which wastes ~S/(F+1) of its key
-# FLOPs on the time axis: ~180x at 16 frames) and the transpose-heavy XLA
-# vjp on the backward (~250 ms of copies in the 32f step profile,
-# docs/ROUND3_NOTES.md). Default ON only after the chip step-bench
-# confirms the win (docs/ROUND4_NOTES.md) — flip via EGOVLP_TIME_COL.
+# long-S workloads): per column chunk, an online softmax streams over the
+# F key frames — O(F) work per query column instead of the dense
+# [block_q, S] tile loop's O(S) (which wastes ~S/(F+1) of its key FLOPs on
+# the time axis: ~180x at 16 frames) — and the backward replaces the
+# transpose-heavy XLA vjp (~250 ms of copies in the 32f step profile,
+# docs/ROUND3_NOTES.md). FRAME-MAJOR layout: the wrapper reshapes the
+# patch rows to [B, F, N, 3*H*Dh] outside the kernel so every in-kernel
+# frame access is a dynamic index on an UNTILED leading dim with static
+# sublane slices — the two earlier formulations both crashed the Mosaic
+# compiler (fully unrolled: compile-size blow-up at F>=16; flat-layout
+# fori_loop: `pl.ds` dynamic sublane starts at the non-8-aligned offsets
+# 1 + f*196, tpu_compile_helper exit 1, docs/ROUND4_NOTES.md). Default ON
+# only after the chip step-bench confirms the win — flip via
+# EGOVLP_TIME_COL.
 _TIME_COL = _os.environ.get("EGOVLP_TIME_COL", "0") == "1"
 _TIME_COL_BLOCK = int(_os.environ.get("EGOVLP_TIME_COL_BLOCK", "128"))
 
@@ -665,11 +670,6 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                                 v_ref[0, :, sl], bias8, scale)
             o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
         return
-    if _time_col(axis, num_frames):
-        _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, scale=scale,
-                             n_patches=n_patches, num_frames=num_frames,
-                             hp=hp, dh=dh)
-        return
     for lo in range(0, s, block_q):
         bq = min(block_q, s - lo)
         # masks are shared by all heads in the program
@@ -714,11 +714,6 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                             dv_ref, scale=scale, axis=axis,
                             n_patches=n_patches, num_frames=num_frames,
                             hp=hp, dh=dh)
-        return
-    if _time_col(axis, num_frames):
-        _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
-                             dv_ref, scale=scale, n_patches=n_patches,
-                             num_frames=num_frames, hp=hp, dh=dh)
         return
     # tile-outer / head-inner: the mask is built once per query tile and
     # shared by all heads; dk/dv accumulate per head across tiles
@@ -881,39 +876,50 @@ def _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
 
 
-def _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, *, scale, n_patches,
-                         num_frames, hp, dh):
-    """Column-chunked time forward for long sequences (see _TIME_COL).
+def _fm_in_specs(num_frames: int, n: int, h: int, dh: int, hp: int):
+    """q/k/v lane-block views into the frame-major [B, F, N, 3*H*Dh] patch
+    tensor plus the CLS row as a [B, 3, H*Dh] side input (rows q/k/v)."""
+    groups = h // hp
+    qkv = [
+        pl.BlockSpec((1, num_frames, n, hp * dh),
+                     lambda b, g, c=c: (b, 0, 0, g + c * groups),
+                     memory_space=pltpu.VMEM)
+        for c in range(3)
+    ]
+    cls = pl.BlockSpec((1, 3, hp * dh), lambda b, g: (b, 0, g),
+                       memory_space=pltpu.VMEM)
+    return qkv + [cls]
 
-    Loop-structured (NOT Python-unrolled over frames — the unrolled slab
-    variant produced Mosaic programs whose compile blew up at F=16/32,
-    docs/ROUND4_NOTES.md): per head and column chunk [c0, c0+C), a
-    `fori_loop` over query frames f streams an online softmax over the F
-    key frames (running max / denominator / rescaled value accumulator) —
-    the same per-column softmax over F+1 logits as `_time_fp_attend`,
-    with a compile size independent of F and no [F, C, Dh] slab copies.
-    Logits are rowwise dots at dynamic sublane offsets (same patch index
-    on both sides). The CLS row (dense over all S keys) runs as the
-    standard 8-row pass at the end."""
-    s = q_ref.shape[1]
-    n, F = n_patches, num_frames
+
+def _time_col_fm_fwd_kernel(q_ref, k_ref, v_ref, cls_ref, o_ref, ocls_ref, *,
+                            scale, num_frames, hp, dh):
+    """Frame-major column-chunked time forward (see _TIME_COL).
+
+    Refs are [1, F, N, hp*Dh] (patch rows, frame-major) + [1, 3, hp*Dh]
+    (the CLS row's q/k/v). Per head and 128-column chunk, a `fori_loop`
+    over query frames f streams an online softmax (running max /
+    denominator / rescaled value accumulator) over the F key frames — the
+    per-column softmax over F+1 logits of the reference's time axis
+    (video_transformer.py:117-153) — with every frame access a dynamic
+    index on the UNTILED frame dim (supported by Mosaic; `pl.ds` dynamic
+    sublane starts at 1 + f*196 in the flat layout crashed it). The CLS
+    query runs its own online pass over full frames at the end."""
+    n, F = q_ref.shape[2], num_frames
     for j in range(hp):
         sl = slice(j * dh, (j + 1) * dh)
-        k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
-        v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
+        kc = cls_ref[0, 1:2, sl].astype(jnp.float32)  # [1, Dh]
+        vc = cls_ref[0, 2:3, sl].astype(jnp.float32)
         for c0 in range(0, n, _TIME_COL_BLOCK):
             c = min(_TIME_COL_BLOCK, n - c0)
 
-            def fbody(f, _, sl=sl, c0=c0, c=c, k0=k0, v0=v0):
-                r0 = 1 + f * n + c0
-                q = q_ref[0, pl.ds(r0, c), sl].astype(jnp.float32)  # [C, Dh]
-                l0 = jnp.sum(q * k0, -1, keepdims=True) * scale     # [C, 1]
+            def fbody(f, _, sl=sl, c0=c0, c=c, kc=kc, vc=vc):
+                q = q_ref[0, f, c0:c0 + c, sl].astype(jnp.float32)  # [C, Dh]
+                l0 = jnp.sum(q * kc, -1, keepdims=True) * scale     # [C, 1]
 
                 def gbody(g, carry):
                     m, den, acc = carry
-                    rg = 1 + g * n + c0
-                    kg = k_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
-                    vg = v_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                    kg = k_ref[0, g, c0:c0 + c, sl].astype(jnp.float32)
+                    vg = v_ref[0, g, c0:c0 + c, sl].astype(jnp.float32)
                     lg = jnp.sum(q * kg, -1, keepdims=True) * scale
                     mn = jnp.maximum(m, lg)
                     r = jnp.exp(m - mn)
@@ -924,93 +930,103 @@ def _packed_fwd_time_col(q_ref, k_ref, v_ref, o_ref, *, scale, n_patches,
                 # rescales it as larger frame logits arrive
                 m, den, acc = jax.lax.fori_loop(
                     0, F, gbody,
-                    (l0, jnp.ones_like(l0), jnp.ones_like(l0) * v0))
-                o_ref[0, pl.ds(r0, c), sl] = (acc / den).astype(o_ref.dtype)
+                    (l0, jnp.ones_like(l0), jnp.ones_like(l0) * vc))
+                o_ref[0, f, c0:c0 + c, sl] = (acc / den).astype(o_ref.dtype)
                 return 0
 
             jax.lax.fori_loop(0, F, fbody, 0)
-    # CLS row attends the full sequence; rows 1..7 recompute their grouped
-    # result (frame 0, columns 0..6) so the 8-row store stays aligned.
-    bias8 = _mask_bias(0, 8, s, "time", n)
-    for j in range(hp):
-        sl = slice(j * dh, (j + 1) * dh)
-        out8 = _tile_attend(q_ref[0, 0:8, sl], k_ref[0, :, sl],
-                            v_ref[0, :, sl], bias8, scale)
-        o_ref[0, 0:8, sl] = out8.astype(o_ref.dtype)
+        # CLS query attends the full sequence: online softmax over frames,
+        # initialized at the CLS self-logit.
+        qc = cls_ref[0, 0:1, sl].astype(jnp.float32)
+        lcc = jnp.sum(qc * kc, -1, keepdims=True) * scale  # [1, 1]
+
+        def cbody(g, carry, sl=sl, qc=qc):
+            m, den, acc = carry
+            kg = k_ref[0, g, :, sl].astype(jnp.float32)  # [N, Dh]
+            vg = v_ref[0, g, :, sl].astype(jnp.float32)
+            lg = jax.lax.dot_general(  # [1, N]
+                qc, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            mn = jnp.maximum(m, jnp.max(lg, -1, keepdims=True))
+            r = jnp.exp(m - mn)
+            e = jnp.exp(lg - mn)
+            pv = jnp.dot(e, vg, preferred_element_type=jnp.float32)
+            return mn, den * r + jnp.sum(e, -1, keepdims=True), acc * r + pv
+
+        m, den, acc = jax.lax.fori_loop(
+            0, F, cbody, (lcc, jnp.ones((1, 1), jnp.float32), vc))
+        ocls_ref[0, 0:1, sl] = (acc / den).astype(ocls_ref.dtype)
 
 
-def _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-                         *, scale, n_patches, num_frames, hp, dh):
-    """Backward of `_packed_fwd_time_col`, loop-structured like the forward
-    (the unrolled slab variant killed the Mosaic compile at F=32 —
-    `tpu_compile_helper` crashed after ~26 min, docs/ROUND4_NOTES.md).
+def _time_col_fm_bwd_kernel(q_ref, k_ref, v_ref, cls_ref, g_ref, gcls_ref,
+                            dq_ref, dk_ref, dv_ref, dcls_ref, *, scale,
+                            num_frames, hp, dh):
+    """Backward of `_time_col_fm_fwd_kernel`, same frame-major layout.
 
-    Per head and column chunk, a `fori_loop` over query frames f runs two
-    passes over the F key frames: pass 1 streams the online softmax stats
-    (running max, denominator, and the e-weighted dot-term numerator
-    `sum_g dp_g*e_g` — rescaled together), pass 2 recomputes p/ds per key
-    frame at the now-fixed stats, accumulates dq, and scatters per-frame
-    dk/dv contributions into `pl.run_scoped` [F, C, Dh] f32 VMEM slabs at
-    the dynamic frame index. The CLS-row dense pass's dk/dv seeds
-    (identical math to `_packed_bwd_time_fp`'s per-head CLS pass) are
-    added at writeback time."""
-    s = q_ref.shape[1]
-    n, F = n_patches, num_frames
-    bias8 = _mask_bias(0, 8, s, "time", n)
+    Per head: (1) the CLS-query online stats stream over the F key frames;
+    (2) per column chunk, a `fori_loop` over query frames runs two passes
+    over the key frames — pass 1 streams the online softmax stats (running
+    max, denominator, and the e-weighted dot-term numerator, rescaled
+    together), pass 2 recomputes p/ds at the fixed stats, accumulates dq,
+    and scatters per-key-frame dk/dv into `pl.run_scoped` [F, C, Dh] f32
+    VMEM slabs at the dynamic frame index; (3) a writeback loop adds the
+    CLS-query pass's rank-1 contribution per (key frame, chunk) and emits
+    dk/dv, accumulating the CLS query's own dq along the way."""
+    n, F = q_ref.shape[2], num_frames
     cb = min(_TIME_COL_BLOCK, n)
 
     def scoped(dk3_ref, dv3_ref):
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
-            kfull = k_ref[0, :, sl]
-            vfull = v_ref[0, :, sl]
-            # ---- CLS-row dense pass (only row 0's cotangent participates)
-            q8 = q_ref[0, 0:8, sl]
-            rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-            g8 = g_ref[0, 0:8, sl] * (rows8 == 0).astype(g_ref.dtype)
-            logits8 = jax.lax.dot_general(
-                q8, kfull, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias8
-            m8 = jnp.max(logits8, -1, keepdims=True)
-            p8 = jnp.exp(logits8 - m8)
-            p8 = p8 / jnp.sum(p8, -1, keepdims=True)
-            dvd = jax.lax.dot_general(  # [S, Dh] f32, all rows
-                p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp8 = jax.lax.dot_general(
-                g8, vfull, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
-            ds8_c = ds8.astype(kfull.dtype)
-            dq8 = scale * jax.lax.dot_general(
-                ds8_c, kfull, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dkd = scale * jax.lax.dot_general(
-                ds8_c, q8, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            qc = cls_ref[0, 0:1, sl].astype(jnp.float32)  # [1, Dh]
+            kc = cls_ref[0, 1:2, sl].astype(jnp.float32)
+            vc = cls_ref[0, 2:3, sl].astype(jnp.float32)
+            gc = gcls_ref[0, 0:1, sl].astype(jnp.float32)
+            # ---- CLS-query online stats over the F key frames ----
+            lcc = jnp.sum(qc * kc, -1, keepdims=True) * scale  # [1, 1]
+            dpcc = jnp.sum(gc * vc, -1, keepdims=True)
+
+            def cstats(g, carry, sl=sl, qc=qc, gc=gc):
+                m, den, dn = carry
+                kg = k_ref[0, g, :, sl].astype(jnp.float32)
+                vg = v_ref[0, g, :, sl].astype(jnp.float32)
+                lg = jax.lax.dot_general(  # [1, N]
+                    qc, kg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dp = jax.lax.dot_general(
+                    gc, vg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                mn = jnp.maximum(m, jnp.max(lg, -1, keepdims=True))
+                r = jnp.exp(m - mn)
+                e = jnp.exp(lg - mn)
+                return (mn, den * r + jnp.sum(e, -1, keepdims=True),
+                        dn * r + jnp.sum(dp * e, -1, keepdims=True))
+
+            mc, denc, dnc = jax.lax.fori_loop(
+                0, F, cstats, (lcc, jnp.ones((1, 1), jnp.float32), dpcc))
+            dotc = dnc / denc
+            pcc = jnp.exp(lcc - mc) / denc
+            dscc = (dpcc - dotc) * pcc  # [1, 1]
             # ---- column-chunked main pass ----
-            k0 = k_ref[0, 0:1, sl].astype(jnp.float32)
-            v0 = v_ref[0, 0:1, sl].astype(jnp.float32)
-            dk0 = jnp.zeros((1, dh), jnp.float32)
-            dv0 = jnp.zeros((1, dh), jnp.float32)
+            dk0 = jnp.zeros((1, dh), jnp.float32)  # CLS key/value grads
+            dv0 = jnp.zeros((1, dh), jnp.float32)  # from the patch queries
+            dqc = jnp.zeros((1, dh), jnp.float32)  # CLS query grad (unscaled)
             for c0 in range(0, n, _TIME_COL_BLOCK):
                 c = min(_TIME_COL_BLOCK, n - c0)
                 dk3_ref[:, 0:c, :] = jnp.zeros((F, c, dh), jnp.float32)
                 dv3_ref[:, 0:c, :] = jnp.zeros((F, c, dh), jnp.float32)
 
-                def fbody(f, carry, sl=sl, c0=c0, c=c, k0=k0, v0=v0):
+                def fbody(f, carry, sl=sl, c0=c0, c=c, kc=kc, vc=vc):
                     dk0, dv0 = carry
-                    r0 = 1 + f * n + c0
-                    q = q_ref[0, pl.ds(r0, c), sl].astype(jnp.float32)
-                    gout = g_ref[0, pl.ds(r0, c), sl].astype(jnp.float32)
-                    l0 = jnp.sum(q * k0, -1, keepdims=True) * scale
-                    dp0 = jnp.sum(gout * v0, -1, keepdims=True)
+                    q = q_ref[0, f, c0:c0 + c, sl].astype(jnp.float32)
+                    gout = g_ref[0, f, c0:c0 + c, sl].astype(jnp.float32)
+                    l0 = jnp.sum(q * kc, -1, keepdims=True) * scale
+                    dp0 = jnp.sum(gout * vc, -1, keepdims=True)
 
                     def g1(g_, carry1):
                         m, den, dn = carry1
-                        rg = 1 + g_ * n + c0
-                        kg = k_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
-                        vg = v_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                        kg = k_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
+                        vg = v_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
                         lg = jnp.sum(q * kg, -1, keepdims=True) * scale
                         dp = jnp.sum(gout * vg, -1, keepdims=True)
                         mn = jnp.maximum(m, lg)
@@ -1026,9 +1042,8 @@ def _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                     ds0 = (dp0 - dot) * p0
 
                     def g2(g_, dqacc):
-                        rg = 1 + g_ * n + c0
-                        kg = k_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
-                        vg = v_ref[0, pl.ds(rg, c), sl].astype(jnp.float32)
+                        kg = k_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
+                        vg = v_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
                         lg = jnp.sum(q * kg, -1, keepdims=True) * scale
                         p = jnp.exp(lg - m) / den
                         dp = jnp.sum(gout * vg, -1, keepdims=True)
@@ -1037,35 +1052,124 @@ def _packed_bwd_time_col(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
                         dv3_ref[g_, 0:c, :] = dv3_ref[g_, 0:c, :] + p * gout
                         return dqacc + ds * kg
 
-                    dqacc = jax.lax.fori_loop(0, F, g2, ds0 * k0)
-                    dq_ref[0, pl.ds(r0, c), sl] = (
+                    dqacc = jax.lax.fori_loop(0, F, g2, ds0 * kc)
+                    dq_ref[0, f, c0:c0 + c, sl] = (
                         dqacc * scale).astype(dq_ref.dtype)
                     return (dk0 + jnp.sum(ds0 * q, axis=0, keepdims=True),
                             dv0 + jnp.sum(p0 * gout, axis=0, keepdims=True))
 
                 dk0, dv0 = jax.lax.fori_loop(0, F, fbody, (dk0, dv0))
 
-                def g3(g_, _, sl=sl, c0=c0, c=c, dkd=dkd, dvd=dvd):
-                    rg = 1 + g_ * n + c0
-                    dkd_c = jax.lax.dynamic_slice(dkd, (rg, 0), (c, dh))
-                    dvd_c = jax.lax.dynamic_slice(dvd, (rg, 0), (c, dh))
-                    dk_ref[0, pl.ds(rg, c), sl] = (
-                        dk3_ref[g_, 0:c, :] * scale + dkd_c
-                    ).astype(dk_ref.dtype)
-                    dv_ref[0, pl.ds(rg, c), sl] = (
-                        dv3_ref[g_, 0:c, :] + dvd_c).astype(dv_ref.dtype)
-                    return 0
+                def wb(g_, dqc, sl=sl, c0=c0, c=c, qc=qc, gc=gc,
+                       mc=mc, denc=denc, dotc=dotc):
+                    # CLS-query rank-1 contribution to this (frame, chunk)
+                    kg = k_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
+                    vg = v_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
+                    lg = jax.lax.dot_general(  # [1, C]
+                        qc, kg, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                    p = jnp.exp(lg - mc) / denc
+                    dp = jax.lax.dot_general(
+                        gc, vg, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    ds = (dp - dotc) * p  # [1, C]
+                    dk_ref[0, g_, c0:c0 + c, sl] = (scale * (
+                        dk3_ref[g_, 0:c, :] + jax.lax.dot_general(
+                            ds, qc, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    )).astype(dk_ref.dtype)
+                    dv_ref[0, g_, c0:c0 + c, sl] = (
+                        dv3_ref[g_, 0:c, :] + jax.lax.dot_general(
+                            p, gc, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    ).astype(dv_ref.dtype)
+                    return dqc + jnp.dot(ds, kg,
+                                         preferred_element_type=jnp.float32)
 
-                jax.lax.fori_loop(0, F, g3, 0)
-            # row 0: CLS query grad (dq8 rows 1..7 are zero) + CLS key/value
-            # grads from both passes
-            dq_ref[0, 0:1, sl] = dq8[0:1].astype(dq_ref.dtype)
-            dk_ref[0, 0:1, sl] = (dk0 * scale + dkd[0:1]).astype(dk_ref.dtype)
-            dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
+                dqc = jax.lax.fori_loop(0, F, wb, dqc)
+            # CLS row: query grad from its own pass; key/value grads from
+            # both passes (the patch queries' dk0/dv0 + the self terms)
+            dcls_ref[0, 0:1, sl] = (
+                scale * (dscc * kc + dqc)).astype(dcls_ref.dtype)
+            dcls_ref[0, 1:2, sl] = (
+                scale * (dscc * qc + dk0)).astype(dcls_ref.dtype)
+            dcls_ref[0, 2:3, sl] = (pcc * gc + dv0).astype(dcls_ref.dtype)
 
     pl.run_scoped(scoped,
                   pltpu.VMEM((F, cb, dh), jnp.float32),
                   pltpu.VMEM((F, cb, dh), jnp.float32))
+
+
+def _time_col_fm_fwd(qkv_flat, scale, num_frames, h, dh, hp):
+    """Frame-major wrapper: split CLS row + reshape patch rows to
+    [B, F, N, 3*H*Dh] (layout-preserving), run the kernel, re-flatten."""
+    b, s, _ = qkv_flat.shape
+    F = num_frames
+    n = (s - 1) // F
+    qkv4 = qkv_flat[:, 1:, :].reshape(b, F, n, 3 * h * dh)
+    cls = qkv_flat[:, 0:1, :].reshape(b, 3, h * dh)
+    kernel = functools.partial(
+        _time_col_fm_fwd_kernel, scale=scale, num_frames=F, hp=hp, dh=dh)
+    o4, ocls = pl.pallas_call(
+        kernel,
+        grid=(b, h // hp),
+        in_specs=_fm_in_specs(F, n, h, dh, hp),
+        out_specs=(
+            pl.BlockSpec((1, F, n, hp * dh), lambda b_, g: (b_, 0, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hp * dh), lambda b_, g: (b_, 0, g),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, F, n, h * dh), qkv_flat.dtype),
+            jax.ShapeDtypeStruct((b, 1, h * dh), qkv_flat.dtype),
+        ),
+        cost_estimate=_cost(b, h, s, dh, axis="time"),
+        compiler_params=_long_s_params(s),
+    )(qkv4, qkv4, qkv4, cls)
+    return jnp.concatenate([ocls, o4.reshape(b, s - 1, h * dh)], axis=1)
+
+
+def _time_col_fm_bwd(qkv_flat, g, scale, num_frames, h, dh, hp):
+    """Backward wrapper: returns d(qkv_flat) as [B, S, 3*H*Dh]."""
+    b, s, _ = qkv_flat.shape
+    F = num_frames
+    n = (s - 1) // F
+    groups = h // hp
+    qkv4 = qkv_flat[:, 1:, :].reshape(b, F, n, 3 * h * dh)
+    cls = qkv_flat[:, 0:1, :].reshape(b, 3, h * dh)
+    g4 = g[:, 1:, :].reshape(b, F, n, h * dh)
+    gcls = g[:, 0:1, :]
+    kernel = functools.partial(
+        _time_col_fm_bwd_kernel, scale=scale, num_frames=F, hp=hp, dh=dh)
+    spec4 = pl.BlockSpec((1, F, n, hp * dh), lambda b_, g_: (b_, 0, 0, g_),
+                         memory_space=pltpu.VMEM)
+    shp4 = jax.ShapeDtypeStruct((b, F, n, h * dh), qkv_flat.dtype)
+    dq4, dk4, dv4, dcls = pl.pallas_call(
+        kernel,
+        grid=(b, groups),
+        in_specs=_fm_in_specs(F, n, h, dh, hp) + [
+            spec4,
+            pl.BlockSpec((1, 1, hp * dh), lambda b_, g_: (b_, 0, g_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec4, spec4, spec4,
+                   pl.BlockSpec((1, 3, hp * dh), lambda b_, g_: (b_, 0, g_),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(shp4, shp4, shp4,
+                   jax.ShapeDtypeStruct((b, 3, h * dh), qkv_flat.dtype)),
+        cost_estimate=_cost(b, h, s, dh, bwd=True, axis="time"),
+        compiler_params=_long_s_params(s),
+    )(qkv4, qkv4, qkv4, cls, g4, gcls)
+
+    def flat(x4, comp):
+        return jnp.concatenate(
+            [dcls[:, comp:comp + 1, :], x4.reshape(b, s - 1, h * dh)], axis=1)
+
+    # lane order [q, k, v] matches the packed projection layout; XLA fuses
+    # this concat into the qkv-Dense backward dots
+    return jnp.concatenate([flat(dq4, 0), flat(dk4, 1), flat(dv4, 2)],
+                           axis=-1)
 
 
 def _packed_specs(s: int, h: int, dh: int, hp: int):
@@ -1090,6 +1194,8 @@ def _long_s_params(s: int):
 
 def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     b, s, _ = qkv_flat.shape
+    if _time_col(axis, num_frames):
+        return _time_col_fm_fwd(qkv_flat, scale, num_frames, h, dh, hp)
     kernel = functools.partial(
         _packed_fwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, num_frames=num_frames, hp=hp, dh=dh,
@@ -1150,6 +1256,9 @@ def _packed_fwd(qkv_flat, scale, axis, num_frames, h, dh, hp, hp_bwd):
 
 def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
     b, s, _ = qkv_flat.shape
+    if _time_col(axis, num_frames):
+        return (_time_col_fm_bwd(qkv_flat, g, scale, num_frames, h, dh,
+                                 hp_bwd),)
     if (s > _PACKED_MAX_S and axis == "time"
             and not _time_fp(axis, num_frames)
             and not _time_col(axis, num_frames)):
