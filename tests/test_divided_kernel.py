@@ -357,6 +357,43 @@ def test_time_col_forward_and_gradients(case, monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_time_col_multi_group_lane_mapping(monkeypatch):
+    """The frame-major col kernels' lane-block index maps (g + c*groups for
+    q/k/v views, g for cls/outputs) with MORE THAN ONE head group per
+    device — the other col cases run h == hp (a single group), which would
+    hide a swapped or misindexed group mapping. _LONG_BUDGET is shrunk so
+    h=4 splits into 2 groups of hp=2 (production 16f runs groups=3)."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_COL", True)
+    monkeypatch.setattr(divided, "_TIME_FP_MAX_F", 0)
+    monkeypatch.setattr(divided, "_LONG_BUDGET", 4_000_000)
+    b, f, n, h, dh = 1, 16, 150, 4, 64
+    s = 1 + f * n
+    assert divided._packed_heads(h, dh, s, 4, budget=4_000_000) == 2
+    rs = np.random.RandomState(13)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref_fwd = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
+                                impl="xla")
+    ref_g = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got_fwd = divided_attention(qkv, scale=scale, axis="time",
+                                    num_frames=f, impl="pallas")
+        got_g = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("axis", ["space", "time"])
 def test_degenerate_tiny_s_falls_back(axis):
     """S < 16 (e.g. 2 frames x 2 patches, S=5) has no kernel tile: the
