@@ -108,7 +108,35 @@ def _step_charades32():
     return one
 
 
-_MODES = {"pretrain": _step_pretrain, "charades32": _step_charades32}
+def _step_egomcq16():
+    """The egomcq_16f zero-shot eval step (bench_eval's long-S fwd-only
+    workload, base 590.8 ms @ batch 4) — identifies where the eval
+    milliseconds actually go before any long-S kernel work is prioritized."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from bench_eval import _model_cfg, _init
+    import numpy as np
+    from egovlpv2_tpu.tasks.egomcq import make_egomcq_eval_step
+
+    batch, num_frames = 4, 16
+    cfg = _model_cfg(num_frames)
+    model, params = _init(cfg)
+    eval_step = make_egomcq_eval_step(model, with_vtm=True)
+    rs = np.random.RandomState(0)
+    v = cfg.model.video
+    video5 = jnp.asarray(rs.randn(batch, 5, num_frames, v.img_size,
+                                  v.img_size, 3), jnp.float32)
+    ids = jnp.asarray(rs.randint(4, 1000, (batch, cfg.max_text_len)),
+                      jnp.int32)
+    mask = jnp.ones((batch, cfg.max_text_len), jnp.int32)
+
+    def one():
+        out = eval_step(params, video5, ids, mask)
+        _ = float(jnp.sum(out["vtc"]) + jnp.sum(out["vtm"]))
+    return one
+
+
+_MODES = {"pretrain": _step_pretrain, "charades32": _step_charades32,
+          "egomcq16": _step_egomcq16}
 
 
 def main():
