@@ -170,6 +170,57 @@ def _time_col(axis: str, num_frames: int) -> bool:
     return axis == "time" and num_frames > _TIME_FP_MAX_F and _TIME_COL
 
 
+# Patch-major long-S TIME: permute rows ONCE in XLA (patch-major order
+# r = 1 + n*F + f) so each patch's F frames become CONTIGUOUS — time
+# attention then has exactly the space axis's frame-block structure with
+# group size F, and runs the proven `_space_fb_*` windowed kernels with
+# 128-row windows and a static block-diagonal intra-window bias
+# (128 % F == 0, so every window covers whole groups and one compile-time
+# [128, 128] bias serves all windows). vs the dense [block_q, S] tile loop
+# this cuts the wasted key FLOPs from ~S/(F+1) (~180x at 16 frames) to
+# win/F (8x at F=16) at full MXU tile fill, and the BACKWARD runs the
+# pallas window kernel instead of the transpose-heavy XLA einsum vjp
+# (~250 ms of copies in the 32f step profile, docs/ROUND3_NOTES.md). The
+# three O(F)-streaming formulations all lost on chip (unrolled + flat:
+# Mosaic crashes; frame-major col: 1.6-2.1x SLOWER, docs/ROUND4_NOTES.md)
+# because VPU-bound rowwise dots can't beat the MXU even at 180x wasted
+# FLOPs — this keeps the MXU but deletes most of the waste. Ref semantics:
+# video_transformer.py:117-153 (reshape to patch-major, attend over time).
+_TIME_PM = _os.environ.get("EGOVLP_TIME_PM", "0") == "1"
+_TIME_PM_WIN = int(_os.environ.get("EGOVLP_TIME_PM_WIN", "128"))
+
+
+def _time_pm(axis: str, s: int, num_frames: int) -> bool:
+    return (axis == "time" and s > _PACKED_MAX_S and _TIME_PM
+            and not _TIME_COL and num_frames > _TIME_FP_MAX_F
+            and num_frames <= _TIME_PM_WIN
+            and _TIME_PM_WIN % num_frames == 0)
+
+
+def _pm_win_bias(win: int, f: int) -> jax.Array:
+    """Static [win, win] block-diagonal bias: rows/cols in the same F-sized
+    group (same patch, patch-major layout) may attend each other."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0) // f
+    cols = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1) // f
+    return jnp.where(rows == cols, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _to_patch_major(x: jax.Array, f: int) -> jax.Array:
+    """[B, 1+F*N, W] frame-major rows -> patch-major (CLS stays row 0)."""
+    b, s, w = x.shape
+    n = (s - 1) // f
+    body = x[:, 1:].reshape(b, f, n, w).transpose(0, 2, 1, 3)
+    return jnp.concatenate([x[:, :1], body.reshape(b, s - 1, w)], axis=1)
+
+
+def _from_patch_major(x: jax.Array, f: int) -> jax.Array:
+    """Inverse of `_to_patch_major` (works for any lane width W)."""
+    b, s, w = x.shape
+    n = (s - 1) // f
+    body = x[:, 1:].reshape(b, n, f, w).transpose(0, 2, 1, 3)
+    return jnp.concatenate([x[:, :1], body.reshape(b, s - 1, w)], axis=1)
+
+
 def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
     """Frame-pair time attention for one head. q_slabs[f] = frame f's
     patch rows [N, Dh] (f32); k0/v0 = the CLS key/value row [1, Dh].
@@ -372,19 +423,28 @@ def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
     return out / denom
 
 
-def _space_fb_fwd(load_q, k, v, store_o, s, n, scale, axis):
+def _space_fb_fwd(load_q, k, v, store_o, s, n, scale, axis,
+                  win=None, win_bias=None):
     """Frame-block space forward over generic load/store accessors: one
     frame of queries vs its own keys + an 8-wide CLS block (joint softmax);
     the CLS row runs a full-sequence 8-row pass afterwards (rows 1..7
     recompute their identical in-frame result so the store stays aligned).
     All masks are tile-independent constants (see module docstring).
     `k`/`v` are the full [S, Dh] slabs; load_q(lo, sz) / store_o(lo, val)
-    bind the layout (per-head 5-d refs or packed lane slices)."""
+    bind the layout (per-head 5-d refs or packed lane slices).
+
+    `win`/`win_bias` generalize the tile to a window of `win` rows covering
+    win/n whole groups with a static intra-window group bias (the
+    patch-major TIME path: n = F, win = 128); default is the space axis's
+    one-frame window (win = n, no intra-window mask)."""
     kc, vc = k[0:8], v[0:8]
-    clsb = _cls_col_bias(n)
-    for lo in range(1, s, n):
-        out = _tile_attend(load_q(lo, n), k[lo:lo + n], v[lo:lo + n], None,
-                           scale, kc, vc, clsb)
+    win = n if win is None else win
+    clsb = _cls_col_bias(win)
+    for lo in range(1, s, win):
+        sz = min(win, s - lo)
+        wb = None if win_bias is None else win_bias[:sz, :sz]
+        out = _tile_attend(load_q(lo, sz), k[lo:lo + sz], v[lo:lo + sz], wb,
+                           scale, kc, vc, clsb[:sz])
         store_o(lo, out)
     bias8 = _mask_bias(0, 8, s, axis, n)
     store_o(0, _tile_attend(load_q(0, 8), k, v, bias8, scale))
@@ -470,7 +530,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
 
 
 def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
-                  axis):
+                  axis, win=None, win_bias=None):
     """Frame-block space backward over generic accessors: tiles have
     DISJOINT key windows, so each tile's dk/dv slab is stored directly (no
     [S, Dh] accumulator — measured: concat-based accumulation at S=6273
@@ -478,10 +538,13 @@ def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
     cross-tile accumulation (an [8, Dh] buffer); the CLS-query full-row
     pass runs first and its dense dk/dv contribution is added slab-wise.
     stores = (store_dq, store_dk, store_dv) with store(lo, val);
-    reads = (read8_dq, read8_dk, read8_dv) returning rows 0..7 as f32."""
+    reads = (read8_dq, read8_dk, read8_dv) returning rows 0..7 as f32.
+    `win`/`win_bias` as in `_space_fb_fwd` (masked entries get p = 0, so
+    every downstream grad term is exact with no extra masking)."""
     store_dq, store_dk, store_dv = stores
     kc, vc = k[0:8], v[0:8]
-    clsb = _cls_col_bias(n)
+    win = n if win is None else win
+    clsb = _cls_col_bias(win)
     # ---- CLS-row pass (only row 0's cotangent participates) ----
     q8 = load_q(0, 8)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
@@ -509,16 +572,19 @@ def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
         preferred_element_type=jnp.float32)
     dk8 = jnp.zeros((8, dh), jnp.float32)  # CLS-column accumulators
     dv8 = jnp.zeros((8, dh), jnp.float32)
-    for lo in range(1, s, n):
-        kwin, vwin = k[lo:lo + n], v[lo:lo + n]
-        qraw = load_q(lo, n)
-        g = load_g(lo, n)
+    for lo in range(1, s, win):
+        sz = min(win, s - lo)
+        kwin, vwin = k[lo:lo + sz], v[lo:lo + sz]
+        qraw = load_q(lo, sz)
+        g = load_g(lo, sz)
         logits = jax.lax.dot_general(
             qraw, kwin, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
+        if win_bias is not None:
+            logits = logits + win_bias[:sz, :sz]
         lc = jax.lax.dot_general(
             qraw, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + clsb
+            preferred_element_type=jnp.float32) * scale + clsb[:sz]
         m = jnp.maximum(jnp.max(logits, -1, keepdims=True),
                         jnp.max(lc, -1, keepdims=True))
         p = jnp.exp(logits - m)
@@ -550,8 +616,8 @@ def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
         dk_win = scale * jax.lax.dot_general(
             ds_c, qraw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        store_dk(lo, dk_win + dkd[lo:lo + n])
-        store_dv(lo, dv_win + dvd[lo:lo + n])
+        store_dk(lo, dk_win + dkd[lo:lo + sz])
+        store_dv(lo, dv_win + dvd[lo:lo + sz])
         dk8 = dk8 + scale * jax.lax.dot_general(
             dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -614,6 +680,25 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                 lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
                 k_ref[0, :, sl], v_ref[0, :, sl],
                 store_o, s, n_patches, scale, axis)
+        return
+    if _time_pm(axis, s, num_frames):
+        # rows arrive PATCH-MAJOR (divided_attention permuted them): the
+        # time groups are contiguous F-row blocks, so this is the space
+        # frame-block kernel with group size F, 128-row windows and a
+        # static block-diagonal intra-window bias.
+        win = min(_TIME_PM_WIN, s - 1)
+        wb = _pm_win_bias(win, num_frames)
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+
+            def store_o(lo, val, sl=sl):
+                o_ref[0, lo:lo + val.shape[0], sl] = val.astype(o_ref.dtype)
+
+            _space_fb_fwd(
+                lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
+                k_ref[0, :, sl], v_ref[0, :, sl],
+                store_o, s, num_frames, scale, "space",
+                win=win, win_bias=wb)
         return
     if _time_fp(axis, num_frames):
         n, F = n_patches, num_frames
@@ -708,6 +793,28 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                 (mk_store(dq_ref), mk_store(dk_ref), mk_store(dv_ref)),
                 (mk_read8(dq_ref), mk_read8(dk_ref), mk_read8(dv_ref)),
                 s, dh, n_patches, scale, axis)
+        return
+    if _time_pm(axis, s, num_frames):
+        win = min(_TIME_PM_WIN, s - 1)
+        wb = _pm_win_bias(win, num_frames)
+        for j in range(hp):
+            sl = slice(j * dh, (j + 1) * dh)
+
+            def mk_store(ref, sl=sl):
+                def store(lo, val):
+                    ref[0, lo:lo + val.shape[0], sl] = val.astype(ref.dtype)
+                return store
+
+            def mk_read8(ref, sl=sl):
+                return lambda: ref[0, 0:8, sl].astype(jnp.float32)
+
+            _space_fb_bwd(
+                lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
+                lambda lo, sz, sl=sl: g_ref[0, lo:lo + sz, sl],
+                k_ref[0, :, sl], v_ref[0, :, sl],
+                (mk_store(dq_ref), mk_store(dk_ref), mk_store(dv_ref)),
+                (mk_read8(dq_ref), mk_read8(dk_ref), mk_read8(dv_ref)),
+                s, dh, num_frames, scale, "space", win=win, win_bias=wb)
         return
     if _time_fp(axis, num_frames):
         _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
@@ -1261,7 +1368,8 @@ def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
                                  hp_bwd),)
     if (s > _PACKED_MAX_S and axis == "time"
             and not _time_fp(axis, num_frames)
-            and not _time_col(axis, num_frames)):
+            and not _time_col(axis, num_frames)
+            and not _time_pm(axis, s, num_frames)):
         # long-sequence TIME backward: the in-kernel dense recompute
         # measured SLOWER than XLA's grouped vjp (5.14 vs ~3.8 ms fwd+bwd
         # at [4,3137,12,64]) — the [block_q, S] f32 intermediates defeat
@@ -1521,8 +1629,20 @@ def divided_attention(
     if use_packed:
         # zero-copy path: the reshape below undoes the caller's reshape of
         # the qkv Dense output, so the kernel reads the matmul result as-is
-        out = _packed_pallas(qkv.reshape(b, s, 3 * h * dh), scale, axis,
-                             num_frames, h, dh, hp, hp_bwd)  # [B, S, H*Dh]
+        flat = qkv.reshape(b, s, 3 * h * dh)
+        if _time_pm(axis, s, num_frames):
+            # patch-major long-S TIME: one XLA row permute each way turns
+            # the time groups contiguous; the kernels run the space
+            # frame-block machinery with a block-diagonal window bias (and
+            # the backward stays in pallas — JAX differentiates the outer
+            # permutes, so the custom VJP sees patch-major rows throughout)
+            out = _from_patch_major(
+                _packed_pallas(_to_patch_major(flat, num_frames), scale,
+                               axis, num_frames, h, dh, hp, hp_bwd),
+                num_frames)
+        else:
+            out = _packed_pallas(flat, scale, axis,
+                                 num_frames, h, dh, hp, hp_bwd)  # [B,S,H*Dh]
         return out.reshape(b, s, h, dh)
     qkv3 = qkv.transpose(2, 0, 3, 1, 4)
     out = _divided_pallas(qkv3, scale, axis, num_frames)  # [B, H, S, Dh]

@@ -409,3 +409,82 @@ def test_degenerate_tiny_s_falls_back(axis):
                             num_frames=f, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("case", [
+    # (B, F, N, H, Dh): F > _TIME_FP_MAX_F and S > _PACKED_MAX_S so the
+    # patch-major branch engages. F=16/n=150 -> S=2401, body 2400 % 128 =
+    # 96 (a partial last window of 6 groups); F=32/n=50 -> S=1601, last
+    # window 64 rows (2 whole groups).
+    (1, 16, 150, 2, 64),
+    (1, 32, 50, 2, 64),
+])
+def test_time_pm_forward_and_gradients(case, monkeypatch):
+    """EGOVLP_TIME_PM: patch-major long-S time attention (the space
+    frame-block kernels with a block-diagonal window bias) vs grad-of-xla,
+    including the CLS splice, partial last windows, and the pallas window
+    backward (no XLA-vjp fallback)."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_PM", True)
+    b, f, n, h, dh = case
+    s = 1 + f * n
+    rs = np.random.RandomState(17)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+    assert divided._time_pm("time", s, f)
+
+    ref_fwd = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
+                                impl="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got_fwd = divided_attention(qkv, scale=scale, axis="time",
+                                    num_frames=f, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_time_pm_multi_group_lane_mapping(monkeypatch):
+    """Patch-major time with MORE THAN ONE head group per device (h=4,
+    hp=2) — catches swapped lane-block group mappings that single-group
+    cases hide, and exercises the permute round-trip at a second head
+    geometry."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_PM", True)
+    monkeypatch.setattr(divided, "_LONG_BUDGET", 4_000_000)
+    b, f, n, h, dh = 1, 16, 150, 4, 64
+    s = 1 + f * n
+    assert divided._packed_heads(h, dh, s, 4, budget=4_000_000) == 2
+    rs = np.random.RandomState(19)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref_fwd = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
+                                impl="xla")
+    ref_g = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got_fwd = divided_attention(qkv, scale=scale, axis="time",
+                                    num_frames=f, impl="pallas")
+        got_g = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=2e-4, atol=2e-4)
