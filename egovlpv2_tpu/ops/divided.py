@@ -174,11 +174,12 @@ def _time_col(axis: str, num_frames: int) -> bool:
 # r = 1 + n*F + f) so each patch's F frames become CONTIGUOUS — time
 # attention then has exactly the space axis's frame-block structure with
 # group size F, and runs the proven `_space_fb_*` windowed kernels with
-# 128-row windows and a static block-diagonal intra-window bias
-# (128 % F == 0, so every window covers whole groups and one compile-time
-# [128, 128] bias serves all windows). vs the dense [block_q, S] tile loop
-# this cuts the wasted key FLOPs from ~S/(F+1) (~180x at 16 frames) to
-# win/F (8x at F=16) at full MXU tile fill, and the BACKWARD runs the
+# exact-divisor windows (<= _TIME_PM_WIN rows, whole F-sized groups, and
+# dividing s-1 exactly — `_pm_window`; a partial last window SIGABRTs the
+# Mosaic compiler, the round-4 r4h failure) and a static block-diagonal
+# intra-window bias. vs the dense [block_q, S] tile loop this cuts the
+# wasted key FLOPs from ~S/(F+1) (~180x at 16 frames) to win/F (7x at
+# F=16, 4x at F=32) at full MXU tile fill, and the BACKWARD runs the
 # pallas window kernel instead of the transpose-heavy XLA einsum vjp
 # (~250 ms of copies in the 32f step profile, docs/ROUND3_NOTES.md). The
 # three O(F)-streaming formulations all lost on chip (unrolled + flat:
@@ -190,11 +191,27 @@ _TIME_PM = _os.environ.get("EGOVLP_TIME_PM", "0") == "1"
 _TIME_PM_WIN = int(_os.environ.get("EGOVLP_TIME_PM_WIN", "128"))
 
 
+def _pm_window(s: int, f: int):
+    """Largest window <= _TIME_PM_WIN covering whole F-sized groups AND
+    dividing the s-1 patch rows EXACTLY, or None. A partial last window
+    crashes the Mosaic compiler at these shapes (`Check failed:
+    limits[i] <= dim(i) (8 vs. 1)`, array.h:480 SIGABRT — the round-4 r4h
+    queue failure; bisected compile-only in round 5: every exact-window
+    config compiles, every partial-window one aborts, bias content
+    irrelevant). Exact divisors also delete the waste: win/F = 7x at F=16
+    (win=112), 4x at F=32 (win=128) vs the dense path's ~S/(F+1) ~180x."""
+    n = (s - 1) // f
+    best = None
+    for w in range(1, min(n, _TIME_PM_WIN // f) + 1):
+        if n % w == 0:
+            best = f * w
+    return best
+
+
 def _time_pm(axis: str, s: int, num_frames: int) -> bool:
     return (axis == "time" and s > _PACKED_MAX_S and _TIME_PM
             and not _TIME_COL and num_frames > _TIME_FP_MAX_F
-            and num_frames <= _TIME_PM_WIN
-            and _TIME_PM_WIN % num_frames == 0)
+            and _pm_window(s, num_frames) is not None)
 
 
 def _pm_win_bias(win: int, f: int) -> jax.Array:
@@ -684,9 +701,10 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
     if _time_pm(axis, s, num_frames):
         # rows arrive PATCH-MAJOR (divided_attention permuted them): the
         # time groups are contiguous F-row blocks, so this is the space
-        # frame-block kernel with group size F, 128-row windows and a
-        # static block-diagonal intra-window bias.
-        win = min(_TIME_PM_WIN, s - 1)
+        # frame-block kernel with group size F, exact-divisor windows
+        # (see _pm_window — partial windows crash Mosaic) and a static
+        # block-diagonal intra-window bias.
+        win = _pm_window(s, num_frames)
         wb = _pm_win_bias(win, num_frames)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
@@ -795,7 +813,7 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                 s, dh, n_patches, scale, axis)
         return
     if _time_pm(axis, s, num_frames):
-        win = min(_TIME_PM_WIN, s - 1)
+        win = _pm_window(s, num_frames)
         wb = _pm_win_bias(win, num_frames)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)

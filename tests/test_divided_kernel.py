@@ -413,17 +413,18 @@ def test_degenerate_tiny_s_falls_back(axis):
 
 @pytest.mark.parametrize("case", [
     # (B, F, N, H, Dh): F > _TIME_FP_MAX_F and S > _PACKED_MAX_S so the
-    # patch-major branch engages. F=16/n=150 -> S=2401, body 2400 % 128 =
-    # 96 (a partial last window of 6 groups); F=32/n=50 -> S=1601, last
-    # window 64 rows (2 whole groups).
+    # patch-major branch engages. Windows are exact divisors of s-1 since
+    # the round-5 Mosaic fix (partial last windows SIGABRT the compiler):
+    # F=16/n=150 -> win=96 (6 groups, 25 windows); F=32/n=50 -> win=64
+    # (2 groups, 25 windows).
     (1, 16, 150, 2, 64),
     (1, 32, 50, 2, 64),
 ])
 def test_time_pm_forward_and_gradients(case, monkeypatch):
     """EGOVLP_TIME_PM: patch-major long-S time attention (the space
     frame-block kernels with a block-diagonal window bias) vs grad-of-xla,
-    including the CLS splice, partial last windows, and the pallas window
-    backward (no XLA-vjp fallback)."""
+    including the CLS splice, non-_TIME_PM_WIN window sizes, and the pallas
+    window backward (no XLA-vjp fallback)."""
     from egovlpv2_tpu.ops import divided
 
     monkeypatch.setattr(divided, "_TIME_PM", True)
