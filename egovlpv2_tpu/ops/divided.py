@@ -1425,17 +1425,28 @@ def _qkv_specs(s: int, dh: int):
     ]
 
 
-def _cost(b, h, s, dh, bwd=False, axis="space"):
-    if _windowed(axis, s):
-        # frame-block: each row dots ~(n_patches + 8) keys; CLS row dense
-        flops = (5 if bwd else 2) * 2 * b * h * s * 256 * dh
-    else:
-        # dense masked attention: QK^T + PV (+3 more dense dots in bwd)
-        flops = (5 if bwd else 2) * 2 * b * h * s * s * dh
+def _keys_per_row(axis, s, num_frames):
+    """Keys each query row actually dots against in the selected kernel
+    regime, for the scheduler cost hint (the dense `s` fallback was a
+    ~180x overestimate for the streaming/windowed time paths)."""
+    if axis == "space" and (_space_fb(axis, s) or _windowed(axis, s)):
+        return (s - 1) // num_frames + 8  # frame window + CLS block
+    if axis == "time":
+        if _time_pm(axis, s, num_frames):
+            return _pm_window(s, num_frames) + 8
+        if _time_fp(axis, num_frames) or _time_col(axis, num_frames):
+            return num_frames + 1  # frame column + CLS key
+    return s
+
+
+def _cost(b, h, s, dh, bwd=False, axis="space", num_frames=1):
+    # QK^T + PV per live key (+3 more dots in bwd); the CLS row's dense
+    # full-row pass is amortized away at real S
+    kpr = _keys_per_row(axis, s, num_frames)
     return pl.CostEstimate(
-        flops=flops,
+        flops=(5 if bwd else 2) * 2 * b * h * s * kpr * dh,
         bytes_accessed=(5 if bwd else 4) * b * h * s * dh * 4,
-        transcendentals=b * h * s * (256 if _windowed(axis, s) else s),
+        transcendentals=b * h * s * kpr,
     )
 
 

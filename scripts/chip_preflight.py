@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Compile-only pre-flight for every env-gated kernel variant (VERDICT r4
+task 2).
+
+Round 4 burned ~33 min of shared chip time discovering Mosaic compile
+crashes at full-bench granularity (two HTTP-500s + a SIGABRT) that a
+seconds-long `.lower().compile()` would have caught. This runs each gated
+kernel config through an AOT compile on the chip (no execution, no bench),
+one subprocess per variant (the gate flags are read at module import), and
+appends one validated JSON row per check to the results file. Run it at the
+top of every chip queue; exit code 1 if any check fails.
+
+Usage: python scripts/chip_preflight.py [results.jsonl] [filter-substring]
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+# (tag, argv, extra_env) — each argv prints {"...", "ok": bool} JSON rows.
+CHECKS = [
+    ("timepm_f16", [sys.executable, "scripts/repro_timepm.py", "base",
+                    "both", "--compile-only"], {}),
+    ("timepm_f32", [sys.executable, "scripts/repro_timepm.py", "f32",
+                    "both", "--compile-only"], {}),
+    ("ln_pallas", [sys.executable, "scripts/chip_preflight.py",
+                   "--worker-ln"], {"EGOVLP_LN_IMPL": "pallas"}),
+]
+
+
+def _worker_ln():
+    """Compile the Pallas LN fwd+bwd at the 16f eval shape."""
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    from egovlpv2_tpu.ops.layernorm import layernorm
+
+    x = jnp.zeros((4, 3137, 768), jnp.bfloat16)
+    sc = jnp.ones((768,), jnp.float32)
+    bi = jnp.zeros((768,), jnp.float32)
+
+    def fwd(x, sc, bi):
+        return layernorm(x, sc, bi, impl="pallas")
+
+    def loss(x, sc, bi):
+        return jnp.sum(fwd(x, sc, bi).astype(jnp.float32))
+
+    for name, fn in (("fwd", fwd), ("bwd", jax.grad(loss, argnums=(0, 1, 2)))):
+        t0 = time.time()
+        jax.jit(fn).lower(x, sc, bi).compile()
+        print(json.dumps({"check": f"ln_{name}", "ok": True,
+                          "secs": round(time.time() - t0, 1)}), flush=True)
+
+
+def main():
+    if "--worker-ln" in sys.argv:
+        _worker_ln()
+        return 0
+    results = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_preflight.jsonl"
+    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from queue_log import extract_objects
+
+    failures = 0
+    for tag, argv, env in CHECKS:
+        if filt and filt not in tag:
+            continue
+        t0 = time.time()
+        proc = subprocess.run(
+            argv, capture_output=True, text=True, timeout=1200,
+            env={**os.environ, **env},
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        rows = extract_objects(proc.stdout)
+        ok = bool(rows) and all(r.get("ok", False) for r in rows
+                                if "ok" in r) and proc.returncode == 0
+        if not ok:
+            failures += 1
+            if not rows:
+                rows = [{"no_json": True,
+                         "tail": (proc.stdout + proc.stderr)[-400:]}]
+        with open(results, "a") as f:
+            for r in rows:
+                f.write(json.dumps(
+                    {"experiment": f"preflight:{tag}", "result": r}) + "\n")
+        print(f"preflight {tag}: {'OK' if ok else 'FAIL'} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
