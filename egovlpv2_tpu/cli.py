@@ -282,7 +282,7 @@ def cmd_pretrain(args):
             from egovlpv2_tpu.data.datasets import EgoClipDataset
             from egovlpv2_tpu.data.loader import (
                 DataLoader, HostShardSampler, RoundRobinLoader, Tokenizer,
-                pretrain_post_fn,
+                device_prefetch, pretrain_post_fn,
             )
 
             tok = Tokenizer(args.tokenizer, max_len=cfg.max_text_len,
@@ -316,7 +316,10 @@ def cmd_pretrain(args):
             loader = loaders[0] if len(loaders) == 1 else RoundRobinLoader(loaders)
 
             def batches(epoch):
-                return (shard_batch(b, mesh) for b in loader.epoch(epoch))
+                # feeder-thread H2D prefetch: batch N+1 ships while step N
+                # computes (data/loader.py device_prefetch)
+                return device_prefetch(loader.epoch(epoch),
+                                       lambda b: shard_batch(b, mesh))
 
         # per-epoch EgoMCQ validation (trainer_egoclip.py:194-195)
         val_batches = None
@@ -610,7 +613,8 @@ def _run_dual_ft(args, dataset_name: str):
         )
 
         def batches(epoch):
-            return (shard_batch(b, mesh) for b in loader.epoch(epoch))
+            from egovlpv2_tpu.data.loader import device_prefetch as dp
+            return dp(loader.epoch(epoch), lambda b: shard_batch(b, mesh))
 
     # per-epoch retrieval validation (trainer_epic.py:200-306 /
     # trainer_charades.py:216-274)

@@ -237,6 +237,72 @@ class DataLoader:
             stop.set()
 
 
+def device_prefetch(batches: Iterator, put_fn: Callable, depth: int = 2):
+    """Overlap host->device transfer with device compute (VERDICT r4 task 4).
+
+    A feeder thread runs `put_fn` (typically `shard_batch`) up to `depth`
+    batches ahead of consumption. `jax.device_put` over the tunnel blocks
+    its calling thread while the bytes ship, so issuing it inline in the
+    train loop serializes transfer with dispatch — the round-4 feed bench
+    measured the FULL per-step H2D time (165 ms of a 543 ms step) exposed
+    despite the loader's host-side prefetch. Moving the put to a feeder
+    thread lets batch N+1's transfer ride under step N's compute; depth 2
+    keeps one batch resident + one in flight (2x batch HBM headroom).
+
+    Exceptions from `put_fn` or the source iterator re-raise at the
+    consumer's next pull; abandoning the generator unblocks the feeder.
+    """
+    if depth <= 0:
+        for b in batches:
+            yield put_fn(b)
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    DONE = object()
+
+    def feeder():
+        try:
+            for b in batches:
+                item = (False, put_fn(b))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # re-raise on the consumer side
+            item = (True, e)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            return
+        while not stop.is_set():
+            try:
+                q.put(DONE, timeout=0.2)
+                break
+            except queue.Full:
+                continue
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            is_err, val = item
+            if is_err:
+                raise val
+            yield val
+    finally:
+        stop.set()
+
+
 class RoundRobinLoader:
     """Alternate batches across several loaders per step
     (base_data_loader.py:142 BaseMultiDataLoader)."""

@@ -305,12 +305,17 @@ def bench_pretrain_feed(batch=16, timed=12, workers=6, tiny=False):
             float(m["loss_total"])
 
         # timed: stream fresh batches through decode -> H2D -> step with the
-        # loss fetched one step behind (same overlap a training loop gets)
+        # loss fetched one step behind (same overlap a training loop gets).
+        # device_prefetch ships batch N+1 from a feeder thread while step N
+        # computes (depth 0 = round-4's inline-put behavior, for A/B).
+        from egovlpv2_tpu.data.loader import device_prefetch
+
+        depth = int(os.environ.get("EGOVLP_FEED_DEPTH", "2"))
         n = 0
         prev = None
         t0 = time.perf_counter()
-        for b in it:
-            state, m = step_fn(state, shard_batch(b, mesh))
+        for db in device_prefetch(it, lambda b: shard_batch(b, mesh), depth):
+            state, m = step_fn(state, db)
             if prev is not None:
                 float(prev["loss_total"])
             prev = m
@@ -346,7 +351,7 @@ def bench_pretrain_feed(batch=16, timed=12, workers=6, tiny=False):
     return {"metric": "pretrain_feed_clips_per_sec_per_chip",
             "value": round(feed_cps, 2), "unit": "clips/s",
             "detail": {"batch": batch, "timed_steps": timed,
-                       "workers": workers,
+                       "workers": workers, "feed_depth": depth,
                        "step_ms": round(1000 * dt / timed, 1),
                        "synthetic_resident_clips_per_sec": round(synth_cps, 2),
                        "feed_vs_synthetic": round(feed_cps / synth_cps, 3),

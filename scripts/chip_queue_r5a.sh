@@ -38,4 +38,10 @@ run timepm_ln_egomcq_16f 5400 env EGOVLP_TIME_PM=1 EGOVLP_LN_IMPL=pallas python 
 
 run bench_default_r5a 3600 python bench.py
 
+# feed double-buffering A/B (VERDICT r4 task 4): depth=0 reproduces the
+# round-4 inline-put behavior (0.696x synthetic); depth=2 ships batch N+1
+# from a feeder thread while step N computes. Target >= 0.9x synthetic.
+run feed_depth0 3600 env EGOVLP_FEED_DEPTH=0 python scripts/bench_eval.py pretrain_realdata
+run feed_depth2 3600 env EGOVLP_FEED_DEPTH=2 python scripts/bench_eval.py pretrain_realdata
+
 echo "all done -> $RESULTS"

@@ -119,6 +119,53 @@ def test_loader_preserves_uint8_batches():
     assert batch["video"].shape == (4, 2, 4, 4, 3)
 
 
+def test_device_prefetch_orders_counts_and_raises():
+    """device_prefetch (the H2D feeder thread, VERDICT r4 task 4): same
+    stream a sequential map would produce, puts issued AHEAD of
+    consumption, exceptions re-raised at the consumer, depth=0 passthrough,
+    and an abandoned generator releases its feeder."""
+    import time
+
+    from egovlpv2_tpu.data.loader import device_prefetch
+
+    put_log = []
+
+    def put(b):
+        put_log.append(b)
+        return b * 10
+
+    out = list(device_prefetch(iter(range(6)), put, depth=2))
+    assert out == [0, 10, 20, 30, 40, 50]
+    assert put_log == list(range(6))
+
+    # puts run ahead: after pulling ONE item, the feeder has already put
+    # at least depth more (poll — the feeder is a thread)
+    put_log.clear()
+    gen = device_prefetch(iter(range(6)), put, depth=2)
+    assert next(gen) == 0
+    for _ in range(50):
+        if len(put_log) >= 3:
+            break
+        time.sleep(0.02)
+    assert len(put_log) >= 3
+    gen.close()  # abandon: feeder must unblock (daemon thread exits)
+
+    # depth=0 is the inline path
+    put_log.clear()
+    gen0 = device_prefetch(iter(range(3)), put, depth=0)
+    assert next(gen0) == 0 and put_log == [0]
+
+    # exceptions from put_fn surface at the consumer
+    def bad(b):
+        raise ValueError("boom")
+
+    try:
+        list(device_prefetch(iter(range(2)), bad, depth=2))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_train_transform_uint8_roundtrip():
     """uint8 geometric output matches the f32 pipeline up to 8-bit
     quantization (same rng -> same crop/flip)."""
