@@ -140,6 +140,16 @@ def _space_fb(axis: str, s: int) -> bool:
     return axis == "space" and s >= 16 and _SPACE_FB_PACKED
 
 
+# All-heads CLS-row pass for the PACKED frame-block kernels (space and the
+# patch-major TIME regime). The per-head CLS pass is dense [8, S] / [S, Dh]
+# work with M=8 / K=8 matmuls (~6% MXU fill); expressing row 0's per-head
+# logits as a segmented lane reduce of `kfull * q0` (one block-ones dot —
+# the `_time_fp_attend_mxu` trick) runs the whole pass once at full lane
+# width instead of per head. Default OFF until the chip step bench confirms
+# (rule of two) — flip via EGOVLP_SPACE_CLS_ALLH.
+_SPACE_CLS_ALLH = _os.environ.get("EGOVLP_SPACE_CLS_ALLH", "0") == "1"
+
+
 # Long-sequence packed route (S > _PACKED_MAX_S, i.e. 16/32-frame shapes):
 # keep the lane-packed layout (no [B,S,3,H,Dh] transposes) with fewer heads
 # per program and the 64M vmem limit. The budget admits hp=4 at S=3137 and
@@ -331,6 +341,50 @@ def _dot_f32(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _cls_row_fwd_allh(q_ref, k_ref, v_ref, o_ref, scale, hp, dh):
+    """CLS-row forward for ALL hp heads at once: per-head logits of q0
+    against every key via one segmented-reduce ones-dot, softmax over rows,
+    column-reduce of the broadcast weights against V. Stores row 0 only
+    (an unmasked full-sequence row — both divided axes let CLS attend
+    everything, `_mask_bias` row 0)."""
+    seg = _seg_ones(hp, dh)
+    kfull = k_ref[0, :, :].astype(jnp.float32)
+    vfull = v_ref[0, :, :].astype(jnp.float32)
+    q0 = q_ref[0, 0:1, :].astype(jnp.float32)
+    l0 = _dot_f32(kfull * q0, seg) * scale
+    m0 = jnp.max(l0, axis=0, keepdims=True)
+    e0 = jnp.exp(l0 - m0)
+    p0 = e0 / jnp.sum(e0, axis=0, keepdims=True)
+    out0 = jnp.sum(_dot_f32(p0, seg.T) * vfull, axis=0, keepdims=True)
+    o_ref[0, 0:1, :] = out0.astype(o_ref.dtype)
+
+
+def _cls_dense_bwd_allh(q_ref, k_ref, v_ref, g_ref, scale, hp, dh):
+    """CLS-query backward for ALL hp heads at once (only row 0's cotangent
+    participates): per-head logits via the segmented ones-dot, dk/dv seeds
+    as broadcast-back products. Returns (dq0 [1, W], dkd [S, W], dvd [S, W])
+    in f32, W = hp*dh — the dense contributions the window loops add
+    slab-wise."""
+    seg = _seg_ones(hp, dh)
+    exp_ = seg.T
+    kfull = k_ref[0, :, :].astype(jnp.float32)
+    vfull = v_ref[0, :, :].astype(jnp.float32)
+    q0 = q_ref[0, 0:1, :].astype(jnp.float32)
+    g0 = g_ref[0, 0:1, :].astype(jnp.float32)
+    l0 = _dot_f32(kfull * q0, seg) * scale            # [S, hp]
+    m0 = jnp.max(l0, axis=0, keepdims=True)
+    e0 = jnp.exp(l0 - m0)
+    p0 = e0 / jnp.sum(e0, axis=0, keepdims=True)      # [S, hp]
+    dvd = _dot_f32(p0, exp_) * g0                     # [S, W]
+    dp0r = _dot_f32(vfull * g0, seg)                  # [S, hp]
+    dot0 = jnp.sum(dp0r * p0, axis=0, keepdims=True)
+    ds0r = (dp0r - dot0) * p0                         # [S, hp]
+    ds0e = _dot_f32(ds0r, exp_)                       # [S, W]
+    dq0 = scale * jnp.sum(ds0e * kfull, axis=0, keepdims=True)
+    dkd = scale * (ds0e * q0)                         # [S, W]
+    return dq0, dkd, dvd
+
+
 def _time_fp_attend_mxu(qs, ks, vs, k0, v0, scale, hp, dh):
     """All-heads frame-pair time attention on full-width [N, hp*dh] f32
     slabs. The rowwise per-head dot is an elementwise product at full lane
@@ -441,7 +495,7 @@ def _tile_attend(q, k, v, bias, scale, kc=None, vc=None, cls_bias=None):
 
 
 def _space_fb_fwd(load_q, k, v, store_o, s, n, scale, axis,
-                  win=None, win_bias=None):
+                  win=None, win_bias=None, skip_cls=False):
     """Frame-block space forward over generic load/store accessors: one
     frame of queries vs its own keys + an 8-wide CLS block (joint softmax);
     the CLS row runs a full-sequence 8-row pass afterwards (rows 1..7
@@ -463,6 +517,11 @@ def _space_fb_fwd(load_q, k, v, store_o, s, n, scale, axis,
         out = _tile_attend(load_q(lo, sz), k[lo:lo + sz], v[lo:lo + sz], wb,
                            scale, kc, vc, clsb[:sz])
         store_o(lo, out)
+    if skip_cls:
+        # caller stores row 0 via the all-heads pass; rows 1..7 were
+        # written by the first window (their window result equals the
+        # 8-row pass's bias8 rows — same key set, same joint softmax)
+        return
     bias8 = _mask_bias(0, 8, s, axis, n)
     store_o(0, _tile_attend(load_q(0, 8), k, v, bias8, scale))
 
@@ -547,7 +606,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dqkv_ref, *, scale, axis,
 
 
 def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
-                  axis, win=None, win_bias=None):
+                  axis, win=None, win_bias=None, cls_pre=None):
     """Frame-block space backward over generic accessors: tiles have
     DISJOINT key windows, so each tile's dk/dv slab is stored directly (no
     [S, Dh] accumulator — measured: concat-based accumulation at S=6273
@@ -557,36 +616,46 @@ def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
     stores = (store_dq, store_dk, store_dv) with store(lo, val);
     reads = (read8_dq, read8_dk, read8_dv) returning rows 0..7 as f32.
     `win`/`win_bias` as in `_space_fb_fwd` (masked entries get p = 0, so
-    every downstream grad term is exact with no extra masking)."""
+    every downstream grad term is exact with no extra masking). `cls_pre`
+    (dq0 [1, dh] f32, dkd_at(lo, sz), dvd_at(lo, sz)) supplies this head's
+    CLS-query pass precomputed by the all-heads segmented-reduce
+    (`_cls_dense_bwd_allh`); None runs the per-head pass here."""
     store_dq, store_dk, store_dv = stores
     kc, vc = k[0:8], v[0:8]
     win = n if win is None else win
     clsb = _cls_col_bias(win)
-    # ---- CLS-row pass (only row 0's cotangent participates) ----
-    q8 = load_q(0, 8)
-    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
-    g8raw = load_g(0, 8)
-    g8 = g8raw * (rows8 == 0).astype(g8raw.dtype)
-    bias8 = _mask_bias(0, 8, s, axis, n)
-    logits8 = jax.lax.dot_general(
-        q8, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale + bias8
-    m8 = jnp.max(logits8, -1, keepdims=True)
-    p8 = jnp.exp(logits8 - m8)
-    p8 = p8 / jnp.sum(p8, -1, keepdims=True)
-    dvd = jax.lax.dot_general(  # [S, Dh] f32: CLS query touches all values
-        p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp8 = jax.lax.dot_general(
-        g8, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
-    ds8_c = ds8.astype(k.dtype)
-    dq8 = scale * jax.lax.dot_general(
-        ds8_c, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dkd = scale * jax.lax.dot_general(
-        ds8_c, q8, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if cls_pre is not None:
+        dq0_pre, dkd_at, dvd_at = cls_pre
+    else:
+        # ---- CLS-row pass (only row 0's cotangent participates) ----
+        q8 = load_q(0, 8)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+        g8raw = load_g(0, 8)
+        g8 = g8raw * (rows8 == 0).astype(g8raw.dtype)
+        bias8 = _mask_bias(0, 8, s, axis, n)
+        logits8 = jax.lax.dot_general(
+            q8, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias8
+        m8 = jnp.max(logits8, -1, keepdims=True)
+        p8 = jnp.exp(logits8 - m8)
+        p8 = p8 / jnp.sum(p8, -1, keepdims=True)
+        dvd = jax.lax.dot_general(  # [S, Dh] f32: CLS query touches all rows
+            p8.astype(g8.dtype), g8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp8 = jax.lax.dot_general(
+            g8, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds8 = (dp8 - jnp.sum(dp8 * p8, -1, keepdims=True)) * p8
+        ds8_c = ds8.astype(k.dtype)
+        dq8 = scale * jax.lax.dot_general(
+            ds8_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dkd = scale * jax.lax.dot_general(
+            ds8_c, q8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq0_pre = dq8[0:1]
+        dkd_at = lambda lo, sz: dkd[lo:lo + sz]  # noqa: E731
+        dvd_at = lambda lo, sz: dvd[lo:lo + sz]  # noqa: E731
     dk8 = jnp.zeros((8, dh), jnp.float32)  # CLS-column accumulators
     dv8 = jnp.zeros((8, dh), jnp.float32)
     for lo in range(1, s, win):
@@ -633,8 +702,8 @@ def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
         dk_win = scale * jax.lax.dot_general(
             ds_c, qraw, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        store_dk(lo, dk_win + dkd[lo:lo + sz])
-        store_dv(lo, dv_win + dvd[lo:lo + sz])
+        store_dk(lo, dk_win + dkd_at(lo, sz))
+        store_dv(lo, dv_win + dvd_at(lo, sz))
         dk8 = dk8 + scale * jax.lax.dot_general(
             dsc, qraw.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -642,14 +711,15 @@ def _space_fb_bwd(load_q, load_g, k, v, stores, reads, s, dh, n, scale,
             pc, g.astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     # rows 1..7 of dq/dk/dv were written by tile 0 (offset 1); row 0 gets
-    # the CLS-row / CLS-column results. dq8 and dk8/dv8 rows 1..7 are zero
-    # (masked cotangent / masked CLS-block columns), so a where-merge on
-    # row 0 completes all three components.
+    # the CLS-row / CLS-column results. dk8/dv8 rows 1..7 are zero (masked
+    # CLS-block columns), so a where-merge on row 0 completes all three
+    # components (dq0_pre broadcasts over the 8 rows; only row 0 selected).
     rows8d = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
     is_cls = rows8d == 0  # where-select: row 0 may hold NaN garbage before
-    store_dq(0, jnp.where(is_cls, dq8, reads[0]()))
-    store_dk(0, jnp.where(is_cls, dk8 + dkd[0:8], reads[1]()))
-    store_dv(0, jnp.where(is_cls, dv8 + dvd[0:8], reads[2]()))
+    store_dq(0, jnp.where(is_cls, jnp.broadcast_to(dq0_pre, (8, dh)),
+                          reads[0]()))
+    store_dk(0, jnp.where(is_cls, dk8 + dkd_at(0, 8), reads[1]()))
+    store_dv(0, jnp.where(is_cls, dv8 + dvd_at(0, 8), reads[2]()))
 
 
 # ---------------------------------------------------------------------------
@@ -696,7 +766,10 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
             _space_fb_fwd(
                 lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
                 k_ref[0, :, sl], v_ref[0, :, sl],
-                store_o, s, n_patches, scale, axis)
+                store_o, s, n_patches, scale, axis,
+                skip_cls=_SPACE_CLS_ALLH)
+        if _SPACE_CLS_ALLH:
+            _cls_row_fwd_allh(q_ref, k_ref, v_ref, o_ref, scale, hp, dh)
         return
     if _time_pm(axis, s, num_frames):
         # rows arrive PATCH-MAJOR (divided_attention permuted them): the
@@ -716,7 +789,9 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                 lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
                 k_ref[0, :, sl], v_ref[0, :, sl],
                 store_o, s, num_frames, scale, "space",
-                win=win, win_bias=wb)
+                win=win, win_bias=wb, skip_cls=_SPACE_CLS_ALLH)
+        if _SPACE_CLS_ALLH:
+            _cls_row_fwd_allh(q_ref, k_ref, v_ref, o_ref, scale, hp, dh)
         return
     if _time_fp(axis, num_frames):
         n, F = n_patches, num_frames
@@ -734,20 +809,9 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
                 o_ref[0, 1 + f * n:1 + (f + 1) * n, :] = (
                     outs[f].astype(o_ref.dtype))
             # CLS row attends the full sequence — same segmented-reduce
-            # trick: per-head logits of q0 against every key in one
-            # ones-dot, softmax over rows, column-reduce of the broadcast
-            # weights against V. Rows 1..7 were already stored by frame 0's
-            # main-pass slab.
-            seg = _seg_ones(hp, dh)
-            kfull = k_ref[0, :, :].astype(jnp.float32)
-            vfull = v_ref[0, :, :].astype(jnp.float32)
-            q0 = q_ref[0, 0:1, :].astype(jnp.float32)
-            l0 = _dot_f32(kfull * q0, seg) * scale
-            m0 = jnp.max(l0, axis=0, keepdims=True)
-            e0 = jnp.exp(l0 - m0)
-            p0 = e0 / jnp.sum(e0, axis=0, keepdims=True)
-            out0 = jnp.sum(_dot_f32(p0, seg.T) * vfull, axis=0, keepdims=True)
-            o_ref[0, 0:1, :] = out0.astype(o_ref.dtype)
+            # trick. Rows 1..7 were already stored by frame 0's main-pass
+            # slab.
+            _cls_row_fwd_allh(q_ref, k_ref, v_ref, o_ref, scale, hp, dh)
             return
         else:
             for j in range(hp):
@@ -792,7 +856,15 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, axis, n_patches,
 def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                        scale, axis, n_patches, num_frames, hp, dh, block_q):
     s = q_ref.shape[1]
-    if _space_fb(axis, s):
+    if _space_fb(axis, s) or _time_pm(axis, s, num_frames):
+        if _space_fb(axis, s):
+            n_grp, ax, win, wb = n_patches, axis, None, None
+        else:
+            win = _pm_window(s, num_frames)
+            n_grp, ax, wb = num_frames, "space", _pm_win_bias(win, num_frames)
+        cls_all = (_cls_dense_bwd_allh(q_ref, k_ref, v_ref, g_ref, scale,
+                                       hp, dh)
+                   if _SPACE_CLS_ALLH else None)
         for j in range(hp):
             sl = slice(j * dh, (j + 1) * dh)
 
@@ -804,35 +876,20 @@ def _packed_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
             def mk_read8(ref, sl=sl):
                 return lambda: ref[0, 0:8, sl].astype(jnp.float32)
 
+            cls_pre = None
+            if cls_all is not None:
+                dq0_w, dkd_w, dvd_w = cls_all
+                cls_pre = (dq0_w[:, sl],
+                           lambda lo, sz, sl=sl: dkd_w[lo:lo + sz, sl],
+                           lambda lo, sz, sl=sl: dvd_w[lo:lo + sz, sl])
             _space_fb_bwd(
                 lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
                 lambda lo, sz, sl=sl: g_ref[0, lo:lo + sz, sl],
                 k_ref[0, :, sl], v_ref[0, :, sl],
                 (mk_store(dq_ref), mk_store(dk_ref), mk_store(dv_ref)),
                 (mk_read8(dq_ref), mk_read8(dk_ref), mk_read8(dv_ref)),
-                s, dh, n_patches, scale, axis)
-        return
-    if _time_pm(axis, s, num_frames):
-        win = _pm_window(s, num_frames)
-        wb = _pm_win_bias(win, num_frames)
-        for j in range(hp):
-            sl = slice(j * dh, (j + 1) * dh)
-
-            def mk_store(ref, sl=sl):
-                def store(lo, val):
-                    ref[0, lo:lo + val.shape[0], sl] = val.astype(ref.dtype)
-                return store
-
-            def mk_read8(ref, sl=sl):
-                return lambda: ref[0, 0:8, sl].astype(jnp.float32)
-
-            _space_fb_bwd(
-                lambda lo, sz, sl=sl: q_ref[0, lo:lo + sz, sl],
-                lambda lo, sz, sl=sl: g_ref[0, lo:lo + sz, sl],
-                k_ref[0, :, sl], v_ref[0, :, sl],
-                (mk_store(dq_ref), mk_store(dk_ref), mk_store(dv_ref)),
-                (mk_read8(dq_ref), mk_read8(dk_ref), mk_read8(dv_ref)),
-                s, dh, num_frames, scale, "space", win=win, win_bias=wb)
+                s, dh, n_grp, scale, ax, win=win, win_bias=wb,
+                cls_pre=cls_pre)
         return
     if _time_fp(axis, num_frames):
         _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
@@ -890,25 +947,12 @@ def _packed_bwd_time_fp_mxu(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
     and its dk/dv seeds are broadcast-back products — no per-head loop
     anywhere."""
     n, F = n_patches, num_frames
-    seg = _seg_ones(hp, dh)
-    exp_ = seg.T
+    # ---- CLS-row dense pass (full-width) ----
+    dq0, dkd, dvd = _cls_dense_bwd_allh(q_ref, k_ref, v_ref, g_ref, scale,
+                                        hp, dh)
+    # ---- frame-pair main pass (full-width) ----
     kfull = k_ref[0, :, :].astype(jnp.float32)
     vfull = v_ref[0, :, :].astype(jnp.float32)
-    q0 = q_ref[0, 0:1, :].astype(jnp.float32)
-    g0 = g_ref[0, 0:1, :].astype(jnp.float32)
-    # ---- CLS-row dense pass (full-width) ----
-    l0 = _dot_f32(kfull * q0, seg) * scale           # [S, hp]
-    m0 = jnp.max(l0, axis=0, keepdims=True)
-    e0 = jnp.exp(l0 - m0)
-    p0 = e0 / jnp.sum(e0, axis=0, keepdims=True)     # [S, hp]
-    dvd = _dot_f32(p0, exp_) * g0                    # [S, W]
-    dp0r = _dot_f32(vfull * g0, seg)                 # [S, hp]
-    dot0 = jnp.sum(dp0r * p0, axis=0, keepdims=True)
-    ds0r = (dp0r - dot0) * p0                        # [S, hp]
-    ds0e = _dot_f32(ds0r, exp_)                      # [S, W]
-    dq0 = scale * jnp.sum(ds0e * kfull, axis=0, keepdims=True)
-    dkd = scale * (ds0e * q0)                        # [S, W]
-    # ---- frame-pair main pass (full-width) ----
     k0 = kfull[0:1]
     v0 = vfull[0:1]
     qs = [q_ref[0, 1 + f * n:1 + (f + 1) * n, :].astype(jnp.float32)

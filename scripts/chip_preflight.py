@@ -26,7 +26,39 @@ CHECKS = [
                     "both", "--compile-only"], {}),
     ("ln_pallas", [sys.executable, "scripts/chip_preflight.py",
                    "--worker-ln"], {"EGOVLP_LN_IMPL": "pallas"}),
+    ("space_cls_allh", [sys.executable, "scripts/chip_preflight.py",
+                        "--worker-allh"], {"EGOVLP_SPACE_CLS_ALLH": "1"}),
+    ("timepm_cls_allh", [sys.executable, "scripts/chip_preflight.py",
+                         "--worker-allh", "--pm"],
+     {"EGOVLP_SPACE_CLS_ALLH": "1", "EGOVLP_TIME_PM": "1"}),
 ]
+
+
+def _worker_allh():
+    """Compile the packed frame-block kernels fwd+bwd with the all-heads
+    CLS pass (EGOVLP_SPACE_CLS_ALLH=1 in env): space @ the pretrain shape,
+    or (--pm) the patch-major TIME regime @ the 16f eval shape."""
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    from egovlpv2_tpu.ops.divided import divided_attention
+
+    pm = "--pm" in sys.argv
+    axis, b, f = ("time", 4, 16) if pm else ("space", 16, 4)
+    s = 1 + f * 196
+    qkv = jnp.zeros((b, s, 3, 12, 64), jnp.bfloat16)
+
+    def loss(x):
+        out = divided_attention(x, scale=0.125, axis=axis, num_frames=f,
+                                impl="pallas")
+        return jnp.sum(out.astype(jnp.float32))
+
+    for name, fn in (("fwd", loss), ("bwd", jax.grad(loss))):
+        t0 = time.time()
+        jax.jit(fn).lower(qkv).compile()
+        print(json.dumps({"check": f"allh_{'pm_' if pm else ''}{name}",
+                          "ok": True, "secs": round(time.time() - t0, 1)}),
+              flush=True)
 
 
 def _worker_ln():
@@ -56,6 +88,9 @@ def _worker_ln():
 def main():
     if "--worker-ln" in sys.argv:
         _worker_ln()
+        return 0
+    if "--worker-allh" in sys.argv:
+        _worker_allh()
         return 0
     results = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_preflight.jsonl"
     filt = sys.argv[2] if len(sys.argv) > 2 else ""

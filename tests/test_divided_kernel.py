@@ -489,3 +489,42 @@ def test_time_pm_multi_group_lane_mapping(monkeypatch):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["space", "time_pm"])
+def test_space_cls_allh_forward_and_gradients(mode, monkeypatch):
+    """EGOVLP_SPACE_CLS_ALLH: the all-heads segmented-reduce CLS pass of
+    the packed frame-block kernels (space axis and the patch-major TIME
+    regime) vs grad-of-xla — fwd row 0 via `_cls_row_fwd_allh`, bwd CLS
+    dense contributions via `_cls_dense_bwd_allh`, incl. the row-0
+    where-merge with the broadcast dq0."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_SPACE_CLS_ALLH", True)
+    if mode == "space":
+        axis, (b, f, n, h, dh) = "space", (2, 4, 196, 2, 64)
+    else:
+        axis, (b, f, n, h, dh) = "time", (1, 16, 150, 2, 64)
+        monkeypatch.setattr(divided, "_TIME_PM", True)
+    s = 1 + f * n
+    rs = np.random.RandomState(23)
+    qkv = _qkv(rs, b, s, h, dh)
+    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
+    scale = dh ** -0.5
+
+    def loss(x, impl):
+        out = divided_attention(x, scale=scale, axis=axis, num_frames=f,
+                                impl=impl)
+        return jnp.sum(out * ct)
+
+    ref_fwd = divided_attention(qkv, scale=scale, axis=axis, num_frames=f,
+                                impl="xla")
+    ref_g = jax.grad(lambda x: loss(x, "xla"))(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got_fwd = divided_attention(qkv, scale=scale, axis=axis,
+                                    num_frames=f, impl="pallas")
+        got_g = jax.grad(lambda x: loss(x, "pallas"))(qkv)
+    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=2e-4, atol=2e-4)
