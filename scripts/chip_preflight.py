@@ -24,6 +24,10 @@ CHECKS = [
                     "both", "--compile-only"], {}),
     ("timepm_f32", [sys.executable, "scripts/repro_timepm.py", "f32",
                     "both", "--compile-only"], {}),
+    ("timepm_w224", [sys.executable, "scripts/repro_timepm.py", "win224",
+                     "both", "--compile-only"], {}),
+    ("timepm_w448", [sys.executable, "scripts/repro_timepm.py", "win448",
+                     "both", "--compile-only"], {}),
     ("ln_pallas", [sys.executable, "scripts/chip_preflight.py",
                    "--worker-ln"], {"EGOVLP_LN_IMPL": "pallas"}),
     ("space_cls_allh", [sys.executable, "scripts/chip_preflight.py",

@@ -22,7 +22,17 @@ run() { # run <tag> <timeout_s> <cmd...>
   echo "--- $tag exit=$rc ---" | tee -a "$RESULTS.log"
 }
 
-python scripts/chip_preflight.py "$RESULTS" allh || echo "PREFLIGHT FAILURES (see $RESULTS)"
+# no filter: the w224/w448 window variants + allh checks are all new
+python scripts/chip_preflight.py "$RESULTS" || echo "PREFLIGHT FAILURES (see $RESULTS)"
+
+# where did the PM win's remainder go? dense TIME was 247 ms of the 590.8
+# eval step; a 7x-waste window kernel should cut ~200 ms but r5a measured
+# 511.4 (-79). Per-category profile of the PM 16f eval step localizes it,
+# and larger exact-divisor windows (fewer/bigger MXU tiles at 14x/28x key
+# waste) probe the per-op-overhead hypothesis.
+run timepm_profile_16f 3600 env EGOVLP_TIME_PM=1 python scripts/profile_step.py egomcq16 /tmp/prof_pm16
+run timepm_w224_16f 1800 env EGOVLP_TIME_PM=1 EGOVLP_TIME_PM_WIN=224 python scripts/bench_eval.py egomcq_16f
+run timepm_w448_16f 1800 env EGOVLP_TIME_PM=1 EGOVLP_TIME_PM_WIN=448 python scripts/bench_eval.py egomcq_16f
 
 run spacebwd_probes 3600 python scripts/microbench_spacebwd.py
 

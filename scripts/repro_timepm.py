@@ -35,6 +35,13 @@ VARIANTS = {
     "f32": dict(F=32, n=196),
     "exact192": dict(F=16, n=192),
     "win112": dict(F=16, n=196, win=112),
+    # larger exact-divisor windows (3136 = 14*224 = 7*448): bigger MXU
+    # tiles / fewer per-window ops at 14x / 28x key waste (vs 112's 7x) —
+    # candidate fix for the r5a residual (511 ms vs the ~360 the FLOP cut
+    # predicts; suspect: per-op overhead of [112,112] tiles)
+    "win224": dict(F=16, n=196, win=224),
+    "win448": dict(F=16, n=196, win=448),
+    "f32w224": dict(F=32, n=196, win=224),
     "zerobias": dict(F=16, n=196, zerobias=True),
     "hp1": dict(F=16, n=196, hp1=True),
     "win16": dict(F=16, n=196, win=16),
