@@ -157,28 +157,13 @@ _SPACE_CLS_ALLH = _os.environ.get("EGOVLP_SPACE_CLS_ALLH", "0") == "1"
 _PACKED_LONG = _os.environ.get("EGOVLP_PACKED_LONG", "1") == "1"
 _LONG_BUDGET = 5_000_000
 
-# Column-chunked time kernels for F > _TIME_FP_MAX_F (the 16/32-frame
-# long-S workloads): per column chunk, an online softmax streams over the
-# F key frames — O(F) work per query column instead of the dense
-# [block_q, S] tile loop's O(S) (which wastes ~S/(F+1) of its key FLOPs on
-# the time axis: ~180x at 16 frames) — and the backward replaces the
-# transpose-heavy XLA vjp (~250 ms of copies in the 32f step profile,
-# docs/ROUND3_NOTES.md). FRAME-MAJOR layout: the wrapper reshapes the
-# patch rows to [B, F, N, 3*H*Dh] outside the kernel so every in-kernel
-# frame access is a dynamic index on an UNTILED leading dim with static
-# sublane slices — the two earlier formulations both crashed the Mosaic
-# compiler (fully unrolled: compile-size blow-up at F>=16; flat-layout
-# fori_loop: `pl.ds` dynamic sublane starts at the non-8-aligned offsets
-# 1 + f*196, tpu_compile_helper exit 1, docs/ROUND4_NOTES.md). Default ON
-# only after the chip step-bench confirms the win — flip via
-# EGOVLP_TIME_COL.
-_TIME_COL = _os.environ.get("EGOVLP_TIME_COL", "0") == "1"
-_TIME_COL_BLOCK = int(_os.environ.get("EGOVLP_TIME_COL_BLOCK", "128"))
-
-
-def _time_col(axis: str, num_frames: int) -> bool:
-    return axis == "time" and num_frames > _TIME_FP_MAX_F and _TIME_COL
-
+# The three O(F)-streaming long-S TIME formulations (fully-unrolled,
+# flat-layout fori_loop, frame-major column-chunked) are DELETED: the
+# first two crashed the Mosaic compiler and the frame-major one measured
+# 1.6-2.1x SLOWER than the dense fallback on chip (r4f,
+# docs/ROUND4_NOTES.md — tombstone with the full forensics). Long-S TIME
+# is the patch-major window kernel below; shapes it cannot tile (no
+# exact-divisor window) fall back to the XLA grouped vjp.
 
 # Patch-major long-S TIME: permute rows ONCE in XLA (patch-major order
 # r = 1 + n*F + f) so each patch's F frames become CONTIGUOUS — time
@@ -197,7 +182,10 @@ def _time_col(axis: str, num_frames: int) -> bool:
 # because VPU-bound rowwise dots can't beat the MXU even at 180x wasted
 # FLOPs — this keeps the MXU but deletes most of the waste. Ref semantics:
 # video_transformer.py:117-153 (reshape to patch-major, attend over time).
-_TIME_PM = _os.environ.get("EGOVLP_TIME_PM", "0") == "1"
+# DEFAULT ON since round 5: rule-of-two confirmed on chip at both
+# production shapes (egomcq_16f 511.4/512.7 ms vs 590.8 dense;
+# ft_charades_32f 632.2/621.2 ms vs 942.4/962.7 — docs/CHIP_QUEUE_r05).
+_TIME_PM = _os.environ.get("EGOVLP_TIME_PM", "1") == "1"
 _TIME_PM_WIN = int(_os.environ.get("EGOVLP_TIME_PM_WIN", "128"))
 
 
@@ -220,7 +208,7 @@ def _pm_window(s: int, f: int):
 
 def _time_pm(axis: str, s: int, num_frames: int) -> bool:
     return (axis == "time" and s > _PACKED_MAX_S and _TIME_PM
-            and not _TIME_COL and num_frames > _TIME_FP_MAX_F
+            and num_frames > _TIME_FP_MAX_F
             and _pm_window(s, num_frames) is not None)
 
 
@@ -1045,302 +1033,6 @@ def _packed_bwd_time_fp(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0, 0:1, sl] = (dv0 + dvd[0:1]).astype(dv_ref.dtype)
 
 
-def _fm_in_specs(num_frames: int, n: int, h: int, dh: int, hp: int):
-    """q/k/v lane-block views into the frame-major [B, F, N, 3*H*Dh] patch
-    tensor plus the CLS row as a [B, 3, H*Dh] side input (rows q/k/v)."""
-    groups = h // hp
-    qkv = [
-        pl.BlockSpec((1, num_frames, n, hp * dh),
-                     lambda b, g, c=c: (b, 0, 0, g + c * groups),
-                     memory_space=pltpu.VMEM)
-        for c in range(3)
-    ]
-    cls = pl.BlockSpec((1, 3, hp * dh), lambda b, g: (b, 0, g),
-                       memory_space=pltpu.VMEM)
-    return qkv + [cls]
-
-
-def _time_col_fm_fwd_kernel(q_ref, k_ref, v_ref, cls_ref, o_ref, ocls_ref, *,
-                            scale, num_frames, hp, dh):
-    """Frame-major column-chunked time forward (see _TIME_COL).
-
-    Refs are [1, F, N, hp*Dh] (patch rows, frame-major) + [1, 3, hp*Dh]
-    (the CLS row's q/k/v). Per head and 128-column chunk, a `fori_loop`
-    over query frames f streams an online softmax (running max /
-    denominator / rescaled value accumulator) over the F key frames — the
-    per-column softmax over F+1 logits of the reference's time axis
-    (video_transformer.py:117-153) — with every frame access a dynamic
-    index on the UNTILED frame dim (supported by Mosaic; `pl.ds` dynamic
-    sublane starts at 1 + f*196 in the flat layout crashed it). The CLS
-    query runs its own online pass over full frames at the end."""
-    n, F = q_ref.shape[2], num_frames
-    for j in range(hp):
-        sl = slice(j * dh, (j + 1) * dh)
-        kc = cls_ref[0, 1:2, sl].astype(jnp.float32)  # [1, Dh]
-        vc = cls_ref[0, 2:3, sl].astype(jnp.float32)
-        for c0 in range(0, n, _TIME_COL_BLOCK):
-            c = min(_TIME_COL_BLOCK, n - c0)
-
-            def fbody(f, _, sl=sl, c0=c0, c=c, kc=kc, vc=vc):
-                q = q_ref[0, f, c0:c0 + c, sl].astype(jnp.float32)  # [C, Dh]
-                l0 = jnp.sum(q * kc, -1, keepdims=True) * scale     # [C, 1]
-
-                def gbody(g, carry):
-                    m, den, acc = carry
-                    kg = k_ref[0, g, c0:c0 + c, sl].astype(jnp.float32)
-                    vg = v_ref[0, g, c0:c0 + c, sl].astype(jnp.float32)
-                    lg = jnp.sum(q * kg, -1, keepdims=True) * scale
-                    mn = jnp.maximum(m, lg)
-                    r = jnp.exp(m - mn)
-                    e = jnp.exp(lg - mn)
-                    return mn, den * r + e, acc * r + e * vg
-
-                # init = the CLS term at m=l0 (e0 == 1); the running max
-                # rescales it as larger frame logits arrive
-                m, den, acc = jax.lax.fori_loop(
-                    0, F, gbody,
-                    (l0, jnp.ones_like(l0), jnp.ones_like(l0) * vc))
-                o_ref[0, f, c0:c0 + c, sl] = (acc / den).astype(o_ref.dtype)
-                return 0
-
-            jax.lax.fori_loop(0, F, fbody, 0)
-        # CLS query attends the full sequence: online softmax over frames,
-        # initialized at the CLS self-logit.
-        qc = cls_ref[0, 0:1, sl].astype(jnp.float32)
-        lcc = jnp.sum(qc * kc, -1, keepdims=True) * scale  # [1, 1]
-
-        def cbody(g, carry, sl=sl, qc=qc):
-            m, den, acc = carry
-            kg = k_ref[0, g, :, sl].astype(jnp.float32)  # [N, Dh]
-            vg = v_ref[0, g, :, sl].astype(jnp.float32)
-            lg = jax.lax.dot_general(  # [1, N]
-                qc, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            mn = jnp.maximum(m, jnp.max(lg, -1, keepdims=True))
-            r = jnp.exp(m - mn)
-            e = jnp.exp(lg - mn)
-            pv = jnp.dot(e, vg, preferred_element_type=jnp.float32)
-            return mn, den * r + jnp.sum(e, -1, keepdims=True), acc * r + pv
-
-        m, den, acc = jax.lax.fori_loop(
-            0, F, cbody, (lcc, jnp.ones((1, 1), jnp.float32), vc))
-        ocls_ref[0, 0:1, sl] = (acc / den).astype(ocls_ref.dtype)
-
-
-def _time_col_fm_bwd_kernel(q_ref, k_ref, v_ref, cls_ref, g_ref, gcls_ref,
-                            dq_ref, dk_ref, dv_ref, dcls_ref, *, scale,
-                            num_frames, hp, dh):
-    """Backward of `_time_col_fm_fwd_kernel`, same frame-major layout.
-
-    Per head: (1) the CLS-query online stats stream over the F key frames;
-    (2) per column chunk, a `fori_loop` over query frames runs two passes
-    over the key frames — pass 1 streams the online softmax stats (running
-    max, denominator, and the e-weighted dot-term numerator, rescaled
-    together), pass 2 recomputes p/ds at the fixed stats, accumulates dq,
-    and scatters per-key-frame dk/dv into `pl.run_scoped` [F, C, Dh] f32
-    VMEM slabs at the dynamic frame index; (3) a writeback loop adds the
-    CLS-query pass's rank-1 contribution per (key frame, chunk) and emits
-    dk/dv, accumulating the CLS query's own dq along the way."""
-    n, F = q_ref.shape[2], num_frames
-    cb = min(_TIME_COL_BLOCK, n)
-
-    def scoped(dk3_ref, dv3_ref):
-        for j in range(hp):
-            sl = slice(j * dh, (j + 1) * dh)
-            qc = cls_ref[0, 0:1, sl].astype(jnp.float32)  # [1, Dh]
-            kc = cls_ref[0, 1:2, sl].astype(jnp.float32)
-            vc = cls_ref[0, 2:3, sl].astype(jnp.float32)
-            gc = gcls_ref[0, 0:1, sl].astype(jnp.float32)
-            # ---- CLS-query online stats over the F key frames ----
-            lcc = jnp.sum(qc * kc, -1, keepdims=True) * scale  # [1, 1]
-            dpcc = jnp.sum(gc * vc, -1, keepdims=True)
-
-            def cstats(g, carry, sl=sl, qc=qc, gc=gc):
-                m, den, dn = carry
-                kg = k_ref[0, g, :, sl].astype(jnp.float32)
-                vg = v_ref[0, g, :, sl].astype(jnp.float32)
-                lg = jax.lax.dot_general(  # [1, N]
-                    qc, kg, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                dp = jax.lax.dot_general(
-                    gc, vg, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                mn = jnp.maximum(m, jnp.max(lg, -1, keepdims=True))
-                r = jnp.exp(m - mn)
-                e = jnp.exp(lg - mn)
-                return (mn, den * r + jnp.sum(e, -1, keepdims=True),
-                        dn * r + jnp.sum(dp * e, -1, keepdims=True))
-
-            mc, denc, dnc = jax.lax.fori_loop(
-                0, F, cstats, (lcc, jnp.ones((1, 1), jnp.float32), dpcc))
-            dotc = dnc / denc
-            pcc = jnp.exp(lcc - mc) / denc
-            dscc = (dpcc - dotc) * pcc  # [1, 1]
-            # ---- column-chunked main pass ----
-            dk0 = jnp.zeros((1, dh), jnp.float32)  # CLS key/value grads
-            dv0 = jnp.zeros((1, dh), jnp.float32)  # from the patch queries
-            dqc = jnp.zeros((1, dh), jnp.float32)  # CLS query grad (unscaled)
-            for c0 in range(0, n, _TIME_COL_BLOCK):
-                c = min(_TIME_COL_BLOCK, n - c0)
-                dk3_ref[:, 0:c, :] = jnp.zeros((F, c, dh), jnp.float32)
-                dv3_ref[:, 0:c, :] = jnp.zeros((F, c, dh), jnp.float32)
-
-                def fbody(f, carry, sl=sl, c0=c0, c=c, kc=kc, vc=vc):
-                    dk0, dv0 = carry
-                    q = q_ref[0, f, c0:c0 + c, sl].astype(jnp.float32)
-                    gout = g_ref[0, f, c0:c0 + c, sl].astype(jnp.float32)
-                    l0 = jnp.sum(q * kc, -1, keepdims=True) * scale
-                    dp0 = jnp.sum(gout * vc, -1, keepdims=True)
-
-                    def g1(g_, carry1):
-                        m, den, dn = carry1
-                        kg = k_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
-                        vg = v_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
-                        lg = jnp.sum(q * kg, -1, keepdims=True) * scale
-                        dp = jnp.sum(gout * vg, -1, keepdims=True)
-                        mn = jnp.maximum(m, lg)
-                        r = jnp.exp(m - mn)
-                        e = jnp.exp(lg - mn)
-                        return mn, den * r + e, dn * r + dp * e
-
-                    # init = the CLS term at m=l0 (e0 == 1)
-                    m, den, dn = jax.lax.fori_loop(
-                        0, F, g1, (l0, jnp.ones_like(l0), dp0))
-                    dot = dn / den                              # [C, 1]
-                    p0 = jnp.exp(l0 - m) / den
-                    ds0 = (dp0 - dot) * p0
-
-                    def g2(g_, dqacc):
-                        kg = k_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
-                        vg = v_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
-                        lg = jnp.sum(q * kg, -1, keepdims=True) * scale
-                        p = jnp.exp(lg - m) / den
-                        dp = jnp.sum(gout * vg, -1, keepdims=True)
-                        ds = (dp - dot) * p
-                        dk3_ref[g_, 0:c, :] = dk3_ref[g_, 0:c, :] + ds * q
-                        dv3_ref[g_, 0:c, :] = dv3_ref[g_, 0:c, :] + p * gout
-                        return dqacc + ds * kg
-
-                    dqacc = jax.lax.fori_loop(0, F, g2, ds0 * kc)
-                    dq_ref[0, f, c0:c0 + c, sl] = (
-                        dqacc * scale).astype(dq_ref.dtype)
-                    return (dk0 + jnp.sum(ds0 * q, axis=0, keepdims=True),
-                            dv0 + jnp.sum(p0 * gout, axis=0, keepdims=True))
-
-                dk0, dv0 = jax.lax.fori_loop(0, F, fbody, (dk0, dv0))
-
-                def wb(g_, dqc, sl=sl, c0=c0, c=c, qc=qc, gc=gc,
-                       mc=mc, denc=denc, dotc=dotc):
-                    # CLS-query rank-1 contribution to this (frame, chunk)
-                    kg = k_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
-                    vg = v_ref[0, g_, c0:c0 + c, sl].astype(jnp.float32)
-                    lg = jax.lax.dot_general(  # [1, C]
-                        qc, kg, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale
-                    p = jnp.exp(lg - mc) / denc
-                    dp = jax.lax.dot_general(
-                        gc, vg, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    ds = (dp - dotc) * p  # [1, C]
-                    dk_ref[0, g_, c0:c0 + c, sl] = (scale * (
-                        dk3_ref[g_, 0:c, :] + jax.lax.dot_general(
-                            ds, qc, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    )).astype(dk_ref.dtype)
-                    dv_ref[0, g_, c0:c0 + c, sl] = (
-                        dv3_ref[g_, 0:c, :] + jax.lax.dot_general(
-                            p, gc, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    ).astype(dv_ref.dtype)
-                    return dqc + jnp.dot(ds, kg,
-                                         preferred_element_type=jnp.float32)
-
-                dqc = jax.lax.fori_loop(0, F, wb, dqc)
-            # CLS row: query grad from its own pass; key/value grads from
-            # both passes (the patch queries' dk0/dv0 + the self terms)
-            dcls_ref[0, 0:1, sl] = (
-                scale * (dscc * kc + dqc)).astype(dcls_ref.dtype)
-            dcls_ref[0, 1:2, sl] = (
-                scale * (dscc * qc + dk0)).astype(dcls_ref.dtype)
-            dcls_ref[0, 2:3, sl] = (pcc * gc + dv0).astype(dcls_ref.dtype)
-
-    pl.run_scoped(scoped,
-                  pltpu.VMEM((F, cb, dh), jnp.float32),
-                  pltpu.VMEM((F, cb, dh), jnp.float32))
-
-
-def _time_col_fm_fwd(qkv_flat, scale, num_frames, h, dh, hp):
-    """Frame-major wrapper: split CLS row + reshape patch rows to
-    [B, F, N, 3*H*Dh] (layout-preserving), run the kernel, re-flatten."""
-    b, s, _ = qkv_flat.shape
-    F = num_frames
-    n = (s - 1) // F
-    qkv4 = qkv_flat[:, 1:, :].reshape(b, F, n, 3 * h * dh)
-    cls = qkv_flat[:, 0:1, :].reshape(b, 3, h * dh)
-    kernel = functools.partial(
-        _time_col_fm_fwd_kernel, scale=scale, num_frames=F, hp=hp, dh=dh)
-    o4, ocls = pl.pallas_call(
-        kernel,
-        grid=(b, h // hp),
-        in_specs=_fm_in_specs(F, n, h, dh, hp),
-        out_specs=(
-            pl.BlockSpec((1, F, n, hp * dh), lambda b_, g: (b_, 0, 0, g),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hp * dh), lambda b_, g: (b_, 0, g),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, F, n, h * dh), qkv_flat.dtype),
-            jax.ShapeDtypeStruct((b, 1, h * dh), qkv_flat.dtype),
-        ),
-        cost_estimate=_cost(b, h, s, dh, axis="time"),
-        compiler_params=_long_s_params(s),
-    )(qkv4, qkv4, qkv4, cls)
-    return jnp.concatenate([ocls, o4.reshape(b, s - 1, h * dh)], axis=1)
-
-
-def _time_col_fm_bwd(qkv_flat, g, scale, num_frames, h, dh, hp):
-    """Backward wrapper: returns d(qkv_flat) as [B, S, 3*H*Dh]."""
-    b, s, _ = qkv_flat.shape
-    F = num_frames
-    n = (s - 1) // F
-    groups = h // hp
-    qkv4 = qkv_flat[:, 1:, :].reshape(b, F, n, 3 * h * dh)
-    cls = qkv_flat[:, 0:1, :].reshape(b, 3, h * dh)
-    g4 = g[:, 1:, :].reshape(b, F, n, h * dh)
-    gcls = g[:, 0:1, :]
-    kernel = functools.partial(
-        _time_col_fm_bwd_kernel, scale=scale, num_frames=F, hp=hp, dh=dh)
-    spec4 = pl.BlockSpec((1, F, n, hp * dh), lambda b_, g_: (b_, 0, 0, g_),
-                         memory_space=pltpu.VMEM)
-    shp4 = jax.ShapeDtypeStruct((b, F, n, h * dh), qkv_flat.dtype)
-    dq4, dk4, dv4, dcls = pl.pallas_call(
-        kernel,
-        grid=(b, groups),
-        in_specs=_fm_in_specs(F, n, h, dh, hp) + [
-            spec4,
-            pl.BlockSpec((1, 1, hp * dh), lambda b_, g_: (b_, 0, g_),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(spec4, spec4, spec4,
-                   pl.BlockSpec((1, 3, hp * dh), lambda b_, g_: (b_, 0, g_),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(shp4, shp4, shp4,
-                   jax.ShapeDtypeStruct((b, 3, h * dh), qkv_flat.dtype)),
-        cost_estimate=_cost(b, h, s, dh, bwd=True, axis="time"),
-        compiler_params=_long_s_params(s),
-    )(qkv4, qkv4, qkv4, cls, g4, gcls)
-
-    def flat(x4, comp):
-        return jnp.concatenate(
-            [dcls[:, comp:comp + 1, :], x4.reshape(b, s - 1, h * dh)], axis=1)
-
-    # lane order [q, k, v] matches the packed projection layout; XLA fuses
-    # this concat into the qkv-Dense backward dots
-    return jnp.concatenate([flat(dq4, 0), flat(dk4, 1), flat(dv4, 2)],
-                           axis=-1)
-
-
 def _packed_specs(s: int, h: int, dh: int, hp: int):
     """q/k/v lane-block views into the [B, S, 3*H*Dh] projection output."""
     groups = h // hp
@@ -1363,8 +1055,6 @@ def _long_s_params(s: int):
 
 def _packed_fwd_pallas(qkv_flat, scale, axis, num_frames, h, dh, hp):
     b, s, _ = qkv_flat.shape
-    if _time_col(axis, num_frames):
-        return _time_col_fm_fwd(qkv_flat, scale, num_frames, h, dh, hp)
     kernel = functools.partial(
         _packed_fwd_kernel, scale=scale, axis=axis,
         n_patches=(s - 1) // num_frames, num_frames=num_frames, hp=hp, dh=dh,
@@ -1425,23 +1115,13 @@ def _packed_fwd(qkv_flat, scale, axis, num_frames, h, dh, hp, hp_bwd):
 
 def _packed_bwd(scale, axis, num_frames, h, dh, hp, hp_bwd, qkv_flat, g):
     b, s, _ = qkv_flat.shape
-    if _time_col(axis, num_frames):
-        return (_time_col_fm_bwd(qkv_flat, g, scale, num_frames, h, dh,
-                                 hp_bwd),)
     if (s > _PACKED_MAX_S and axis == "time"
             and not _time_fp(axis, num_frames)
-            and not _time_col(axis, num_frames)
             and not _time_pm(axis, s, num_frames)):
         # long-sequence TIME backward: the in-kernel dense recompute
         # measured SLOWER than XLA's grouped vjp (5.14 vs ~3.8 ms fwd+bwd
         # at [4,3137,12,64]) — the [block_q, S] f32 intermediates defeat
         # the win. Differentiate the einsum path instead (same math).
-        if _TIME_LONG_FLAT:
-            # transpose-free variant: same math on the flat packed layout
-            _, vjp = jax.vjp(
-                lambda x: _time_xla_flat(x, scale, num_frames, h, dh),
-                qkv_flat)
-            return vjp(g)
         qkv5 = qkv_flat.reshape(b, s, 3, h, dh)
         _, vjp = jax.vjp(
             lambda x: _divided_xla(x, scale, axis, num_frames), qkv5)
@@ -1478,7 +1158,7 @@ def _keys_per_row(axis, s, num_frames):
     if axis == "time":
         if _time_pm(axis, s, num_frames):
             return _pm_window(s, num_frames) + 8
-        if _time_fp(axis, num_frames) or _time_col(axis, num_frames):
+        if _time_fp(axis, num_frames):
             return num_frames + 1  # frame column + CLS key
     return s
 
@@ -1603,56 +1283,6 @@ def _divided_xla(qkv: jax.Array, scale: float, axis: str, num_frames: int):
     out = out.reshape(b, h, f * n, dh)
     out = jnp.concatenate([cls_out, out], axis=2)  # [B, H, S, Dh]
     return out.transpose(0, 2, 1, 3)  # [B, S, H, Dh]
-
-
-def _time_xla_flat(qkv_flat: jax.Array, scale: float, num_frames: int,
-                   h: int, dh: int) -> jax.Array:
-    """Time attention with the CLS splice directly on the packed flat layout.
-
-    Same math as `_divided_xla(axis='time')` but on [B, S, 3*H*Dh] with no
-    [B,S,3,H,Dh] <-> [3,B,H,S,Dh] transposes: every regrouping is either a
-    lane slice or a reshape, and the frame pairing is expressed through
-    einsum index orders so XLA picks the layouts. Exists for the long-S
-    TIME backward (`_packed_bwd`), where the vjp of the transpose-heavy
-    reference path is the dominant copy source in the 32-frame profile
-    (~250 ms of a ~950 ms ft-charades step, docs/ROUND3_NOTES.md).
-    """
-    b, s, _ = qkv_flat.shape
-    f, hd = num_frames, h * dh
-    n = (s - 1) // f
-    q = qkv_flat[..., :hd].reshape(b, s, h, dh)
-    k = qkv_flat[..., hd:2 * hd].reshape(b, s, h, dh)
-    v = qkv_flat[..., 2 * hd:].reshape(b, s, h, dh)
-    qs = q * jnp.asarray(scale, q.dtype)
-    # CLS query row: dense over all S keys (reference splices the CLS row
-    # unchanged through both divided axes, video_transformer.py:117-153)
-    cls_lg = jnp.einsum("bhd,bshd->bhs", qs[:, 0], k,
-                        preferred_element_type=jnp.float32)
-    cls_p = jax.nn.softmax(cls_lg, axis=-1).astype(q.dtype)
-    cls_out = jnp.einsum("bhs,bshd->bhd", cls_p, v,
-                         preferred_element_type=q.dtype)
-    # patch rows: attend the same patch column across frames, + the CLS key
-    qp = qs[:, 1:].reshape(b, f, n, h, dh)
-    kp = k[:, 1:].reshape(b, f, n, h, dh)
-    vp = v[:, 1:].reshape(b, f, n, h, dh)
-    lg = jnp.einsum("bfnhd,bgnhd->bnhfg", qp, kp,
-                    preferred_element_type=jnp.float32)
-    lc = jnp.einsum("bfnhd,bhd->bnhf", qp, k[:, 0],
-                    preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(jnp.concatenate([lc[..., None], lg], axis=-1), axis=-1)
-    p = p.astype(q.dtype)  # [B, N, H, F, 1+F]
-    out = jnp.einsum("bnhfg,bgnhd->bfnhd", p[..., 1:], vp,
-                     preferred_element_type=q.dtype)
-    out = out + jnp.einsum("bnhf,bhd->bfnhd", p[..., 0], v[:, 0],
-                           preferred_element_type=q.dtype)
-    return jnp.concatenate(
-        [cls_out.reshape(b, 1, hd), out.reshape(b, s - 1, hd)], axis=1)
-
-
-# Long-S TIME backward through the flat einsum formulation above instead of
-# the transpose-heavy reference path. Queued chip experiment (tunnel down
-# when written); flip after the ft-charades-32f step bench confirms a win.
-_TIME_LONG_FLAT = _os.environ.get("EGOVLP_TIME_LONG_FLAT", "0") == "1"
 
 
 def divided_attention(

@@ -221,70 +221,6 @@ def test_long_s_packed_head_grouping():
     # pretrain shape keeps the measured-optimal short-S grouping
     assert d._packed_heads(12, 64, 785, 2) == 6
     assert d._packed_heads(12, 64, 785, 2, budget=d._BWD_BUDGET) == 2
-
-
-def test_time_xla_flat_parity():
-    """`_time_xla_flat` (transpose-free flat-layout time attention, the
-    EGOVLP_TIME_LONG_FLAT backward variant) must match `_divided_xla`
-    exactly — forward and gradient — including the CLS splice."""
-    from egovlpv2_tpu.ops import divided
-
-    b, f, n, h, dh = 2, 8, 13, 3, 16
-    s = 1 + f * n
-    rs = np.random.RandomState(7)
-    qkv = _qkv(rs, b, s, h, dh)  # [B, S, 3, H, Dh]
-    # packed flat layout is [q_0..q_H | k_0..k_H | v_0..v_H] along lanes
-    flat = jnp.concatenate(
-        [qkv[:, :, c].reshape(b, s, h * dh) for c in range(3)], axis=-1)
-    ct = jnp.asarray(rs.randn(b, s, h * dh), jnp.float32)
-    scale = dh ** -0.5
-
-    ref = divided._divided_xla(qkv, scale, "time", f)  # [B, S, H, Dh]
-    got = divided._time_xla_flat(flat, scale, f, h, dh)
-    np.testing.assert_allclose(np.asarray(got),
-                               np.asarray(ref.reshape(b, s, h * dh)),
-                               rtol=2e-5, atol=2e-5)
-
-    def loss_ref(x):
-        out = divided._divided_xla(x, scale, "time", f)
-        return jnp.sum(out.reshape(b, s, h * dh) * ct)
-
-    def loss_flat(x):
-        return jnp.sum(divided._time_xla_flat(x, scale, f, h, dh) * ct)
-
-    ref_g = jax.grad(loss_ref)(qkv)
-    ref_g_flat = jnp.concatenate(
-        [ref_g[:, :, c].reshape(b, s, h * dh) for c in range(3)], axis=-1)
-    got_g = jax.grad(loss_flat)(flat)
-    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g_flat),
-                               rtol=2e-4, atol=2e-4)
-
-
-def test_gradients_long_sequence_flat_bwd(monkeypatch):
-    """With EGOVLP_TIME_LONG_FLAT the long-S time backward routes through
-    `_time_xla_flat`; end-to-end grads must still match grad-of-xla."""
-    from egovlpv2_tpu.ops import divided
-
-    monkeypatch.setattr(divided, "_TIME_LONG_FLAT", True)
-    b, f, n, h, dh = FWD_ONLY_CASES[0]
-    s = 1 + f * n
-    rs = np.random.RandomState(4)
-    qkv = _qkv(rs, b, s, h, dh)
-    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
-    scale = dh ** -0.5
-
-    def loss(x, impl):
-        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
-                                impl=impl)
-        return jnp.sum(out * ct)
-
-    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
-    with pltpu.force_tpu_interpret_mode():
-        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_gradients_time_fp_lane_reduce(monkeypatch):
     """The per-head lane-reduce frame-pair variant (EGOVLP_TIME_FP_MXU=0)
     stays parity-covered now that the MXU segmented-reduce formulation is
@@ -308,89 +244,6 @@ def test_gradients_time_fp_lane_reduce(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
-
-
-@pytest.mark.parametrize("case", [
-    # (B, F, N, H, Dh): F > _TIME_FP_MAX_F so the col branch engages.
-    # n=150 does not divide the 128-column chunk (boundary chunk of 22);
-    # the F=16 case crosses _PACKED_MAX_S (S=2401) so the custom-VJP
-    # dispatcher routes the backward in-kernel rather than to the XLA vjp.
-    (1, 16, 150, 2, 64),
-    (1, 32, 24, 2, 64),
-    # the pretrain frame count (short-S packed route) — covers the
-    # EGOVLP_TIME_FP_MAX_F=0 + EGOVLP_TIME_COL=1 chip experiment that
-    # routes F=4 to the col kernel instead of the frame-pair one
-    (2, 4, 150, 2, 64),
-])
-def test_time_col_forward_and_gradients(case, monkeypatch):
-    """EGOVLP_TIME_COL: column-chunked long-S time kernel (fwd + bwd) vs
-    grad-of-xla, including the CLS splice and chunk-boundary columns."""
-    from egovlpv2_tpu.ops import divided
-
-    monkeypatch.setattr(divided, "_TIME_COL", True)
-    monkeypatch.setattr(divided, "_TIME_FP_MAX_F", 0)
-    b, f, n, h, dh = case
-    s = 1 + f * n
-    rs = np.random.RandomState(11)
-    qkv = _qkv(rs, b, s, h, dh)
-    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
-    scale = dh ** -0.5
-
-    ref_fwd = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
-                                impl="xla")
-    with pltpu.force_tpu_interpret_mode():
-        got_fwd = divided_attention(qkv, scale=scale, axis="time",
-                                    num_frames=f, impl="pallas")
-    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
-                               rtol=2e-5, atol=2e-5)
-
-    def loss(x, impl):
-        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
-                                impl=impl)
-        return jnp.sum(out * ct)
-
-    ref = jax.grad(lambda x: loss(x, "xla"))(qkv)
-    with pltpu.force_tpu_interpret_mode():
-        got = jax.grad(lambda x: loss(x, "pallas"))(qkv)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
-
-
-def test_time_col_multi_group_lane_mapping(monkeypatch):
-    """The frame-major col kernels' lane-block index maps (g + c*groups for
-    q/k/v views, g for cls/outputs) with MORE THAN ONE head group per
-    device — the other col cases run h == hp (a single group), which would
-    hide a swapped or misindexed group mapping. _LONG_BUDGET is shrunk so
-    h=4 splits into 2 groups of hp=2 (production 16f runs groups=3)."""
-    from egovlpv2_tpu.ops import divided
-
-    monkeypatch.setattr(divided, "_TIME_COL", True)
-    monkeypatch.setattr(divided, "_TIME_FP_MAX_F", 0)
-    monkeypatch.setattr(divided, "_LONG_BUDGET", 4_000_000)
-    b, f, n, h, dh = 1, 16, 150, 4, 64
-    s = 1 + f * n
-    assert divided._packed_heads(h, dh, s, 4, budget=4_000_000) == 2
-    rs = np.random.RandomState(13)
-    qkv = _qkv(rs, b, s, h, dh)
-    ct = jnp.asarray(rs.randn(b, s, h, dh), jnp.float32)
-    scale = dh ** -0.5
-
-    def loss(x, impl):
-        out = divided_attention(x, scale=scale, axis="time", num_frames=f,
-                                impl=impl)
-        return jnp.sum(out * ct)
-
-    ref_fwd = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
-                                impl="xla")
-    ref_g = jax.grad(lambda x: loss(x, "xla"))(qkv)
-    with pltpu.force_tpu_interpret_mode():
-        got_fwd = divided_attention(qkv, scale=scale, axis="time",
-                                    num_frames=f, impl="pallas")
-        got_g = jax.grad(lambda x: loss(x, "pallas"))(qkv)
-    np.testing.assert_allclose(np.asarray(got_fwd), np.asarray(ref_fwd),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                rtol=2e-4, atol=2e-4)
 
 

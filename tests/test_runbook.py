@@ -59,3 +59,21 @@ def test_runbook_python_snippet_imports():
     for cfg in re.findall(r"configs/[\w.]+\.json", text):
         assert os.path.exists(os.path.join(os.path.dirname(RUNBOOK), "..",
                                            cfg)), cfg
+
+
+def test_runbook_egomcq_kernel_regime():
+    """The documented 16-frame EgoMCQ eval (configs/eval_egomcq.json, S =
+    1 + 16*196) runs the patch-major TIME kernel by DEFAULT since round 5
+    (rule-of-two confirmed: 511.4/512.7 ms vs 590.8 dense) — the parity
+    path and the perf path are the same code. Guards the regime selectors
+    the runbook's numbers were measured under."""
+    from egovlpv2_tpu.ops import divided
+
+    s = 1 + 16 * 196
+    assert divided._time_pm("time", s, 16)
+    assert divided._pm_window(s, 16) == 112  # exact divisor of 3136
+    assert divided._space_fb("space", s)     # frame-block space kernels
+    # the 32-frame fine-tune shape rides the same kernel
+    s32 = 1 + 32 * 196
+    assert divided._time_pm("time", s32, 32)
+    assert divided._pm_window(s32, 32) == 128
