@@ -253,13 +253,15 @@ def _write_looped_egoclip(root, uids=8, rows_per_uid=32, res=256, fps=30,
     return meta, data
 
 
-def bench_pretrain_feed(batch=16, timed=12, workers=6, tiny=False):
+def bench_pretrain_feed(batch=16, timed=12, workers=None, tiny=False):
     """Feed-INCLUSIVE pretrain clips/s: chunked mp4s on disk -> the
     production loader (threaded cv2 decode, geometric transforms, uint8
     device_norm feed, MLM collate, prefetch=2) -> the real flagship train
     step on the chip. The reference's hot loop includes DataLoader decode
     (SURVEY §3.1); bench.py's synthetic number excludes it — this measures
     the gap. Same step discipline as bench.py (depth-1 pipelined fetch)."""
+    if workers is None:  # r5c sweep knob
+        workers = int(os.environ.get("EGOVLP_FEED_WORKERS", "6"))
     import tempfile
 
     from egovlpv2_tpu.core.config import ModelConfig, OptimConfig, TrainConfig
