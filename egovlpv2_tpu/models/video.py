@@ -87,6 +87,7 @@ class DividedAttention(nn.Module):
     zero_init: bool = False  # 'zeros' time-attn init
     dtype: Optional[jnp.dtype] = None
     attn_impl: str = "xla"
+    pm_rows: bool = False  # rows arrive patch-major (EGOVLP_PM_HOIST)
 
     @nn.compact
     def __call__(
@@ -121,7 +122,7 @@ class DividedAttention(nn.Module):
         # (ops/divided.py), 'xla' = the einsum reference path (same math).
         out = divided_attention(
             qkv.reshape(b, s, 3, h, dh), scale=scale, axis=self.axis,
-            num_frames=f, impl=self.attn_impl,
+            num_frames=f, impl=self.attn_impl, pm_rows=self.pm_rows,
         ).reshape(b, s, d)
 
         x = nn.Dense(
@@ -171,10 +172,24 @@ class SpaceTimeBlock(nn.Module):
     ) -> jax.Array:
         cfg = self.cfg
         ln = lambda name: FusedLayerNorm(epsilon=cfg.ln_eps, dtype=self.dtype, name=name)
+        # EGOVLP_PM_HOIST: permute the D-wide activation to patch-major
+        # BEFORE the time sublayer's qkv projection (rowwise ops commute
+        # with row permutation) instead of the kernel permuting the 3D-wide
+        # qkv — half the permuted bytes per block. Training-mode dropout
+        # draws per-position bits in permuted order (same distribution).
+        from egovlpv2_tpu.ops import divided as _divided
+        hoist = (_divided._PM_HOIST and self.attn_impl != "xla"
+                 and _divided._time_pm("time", x.shape[1], num_frames))
+        xt = ln("norm3")(x)
+        if hoist:
+            xt = _divided._to_patch_major(xt, num_frames)
         time_out = DividedAttention(
             cfg, self.fusion, axis="time", fused=False, zero_init=True,
-            dtype=self.dtype, attn_impl=self.attn_impl, name="timeattn",
-        )(ln("norm3")(x), num_frames, deterministic=deterministic)
+            dtype=self.dtype, attn_impl=self.attn_impl, pm_rows=hoist,
+            name="timeattn",
+        )(xt, num_frames, deterministic=deterministic)
+        if hoist:
+            time_out = _divided._from_patch_major(time_out, num_frames)
         time_residual = x + time_out
         space_out = DividedAttention(
             cfg, self.fusion, axis="space", fused=self.fused,

@@ -236,6 +236,17 @@ def _from_patch_major(x: jax.Array, f: int) -> jax.Array:
     return jnp.concatenate([x[:, :1], body.reshape(b, s - 1, w)], axis=1)
 
 
+# Hoist the patch-major permutes OUT of the attention call: row permutation
+# commutes with every rowwise op (LN, qkv Dense, out proj), so the caller
+# can permute the 768-wide activation once per time sublayer instead of the
+# kernel permuting the 2304-wide qkv in and the output back — half the
+# permuted bytes (the r5b PM profile shows ~50 ms/step of copy/slice/
+# reshape growth vs the dense baseline at 16f). models/video.py applies it
+# when this flag is on and `pm_rows=True` reaches `divided_attention`.
+# Default OFF until the step bench confirms (rule of two).
+_PM_HOIST = _os.environ.get("EGOVLP_PM_HOIST", "0") == "1"
+
+
 def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
     """Frame-pair time attention for one head. q_slabs[f] = frame f's
     patch rows [N, Dh] (f32); k0/v0 = the CLS key/value row [1, Dh].
@@ -1292,6 +1303,7 @@ def divided_attention(
     axis: str,
     num_frames: int,
     impl: str = "pallas",
+    pm_rows: bool = False,
 ) -> jax.Array:
     """Divided space/time self-attention with CLS splice.
 
@@ -1301,12 +1313,36 @@ def divided_attention(
       axis: 'space' | 'time'.
       impl: 'pallas' (TPU kernel), 'xla' (einsum reference path), or 'auto'
         (pallas on TPU backends, xla elsewhere).
+      pm_rows: the caller already permuted rows to PATCH-MAJOR order
+        (time axis only — the EGOVLP_PM_HOIST optimization: hoisting the
+        permute above the qkv projection halves the permuted bytes). The
+        output is returned in the same patch-major row order. Paths that
+        cannot consume patch-major rows round-trip through frame-major,
+        so the semantics hold on every backend.
 
-    Returns [B, S, H, Dh] in qkv.dtype.
+    Returns [B, S, H, Dh] in qkv.dtype (rows ordered as the input's).
     """
     assert axis in ("space", "time"), axis
     if impl == "auto":
         impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if pm_rows:
+        assert axis == "time", "pm_rows is a time-axis layout contract"
+        b, s, _, h, dh = qkv.shape
+        fast = (impl == "pallas" and s >= 16
+                and _time_pm(axis, s, num_frames)
+                and _packed_heads(h, dh, s, qkv.dtype.itemsize,
+                                  budget=_LONG_BUDGET) is not None
+                and _PACKED_LONG)
+        if not fast:
+            # fallback: restore frame-major, compute, re-permute the output
+            # so the caller's layout contract holds (tests / CPU / shapes
+            # the PM kernel cannot tile)
+            fm = _from_patch_major(qkv.reshape(b, s, -1), num_frames)
+            out = divided_attention(
+                fm.reshape(b, s, 3, h, dh), scale=scale, axis=axis,
+                num_frames=num_frames, impl=impl)
+            return _to_patch_major(out.reshape(b, s, h * dh),
+                                   num_frames).reshape(b, s, h, dh)
     if impl != "pallas":
         return _divided_xla(qkv, scale, axis, num_frames)
     b, s, _, h, dh = qkv.shape
@@ -1338,11 +1374,16 @@ def divided_attention(
             # the time groups contiguous; the kernels run the space
             # frame-block machinery with a block-diagonal window bias (and
             # the backward stays in pallas — JAX differentiates the outer
-            # permutes, so the custom VJP sees patch-major rows throughout)
-            out = _from_patch_major(
-                _packed_pallas(_to_patch_major(flat, num_frames), scale,
-                               axis, num_frames, h, dh, hp, hp_bwd),
-                num_frames)
+            # permutes, so the custom VJP sees patch-major rows throughout).
+            # pm_rows: the caller already permuted (and un-permutes).
+            if pm_rows:
+                out = _packed_pallas(flat, scale, axis, num_frames, h, dh,
+                                     hp, hp_bwd)
+            else:
+                out = _from_patch_major(
+                    _packed_pallas(_to_patch_major(flat, num_frames), scale,
+                                   axis, num_frames, h, dh, hp, hp_bwd),
+                    num_frames)
         else:
             out = _packed_pallas(flat, scale, axis,
                                  num_frames, h, dh, hp, hp_bwd)  # [B,S,H*Dh]

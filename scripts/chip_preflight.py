@@ -35,7 +35,41 @@ CHECKS = [
     ("timepm_cls_allh", [sys.executable, "scripts/chip_preflight.py",
                          "--worker-allh", "--pm"],
      {"EGOVLP_SPACE_CLS_ALLH": "1", "EGOVLP_TIME_PM": "1"}),
+    ("pm_hoist", [sys.executable, "scripts/chip_preflight.py",
+                  "--worker-hoist"], {"EGOVLP_PM_HOIST": "1"}),
 ]
+
+
+def _worker_hoist():
+    """Compile a SpaceTimeBlock fwd+bwd with the hoisted patch-major
+    permutes (EGOVLP_PM_HOIST=1) at the 16f eval shape."""
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    from egovlpv2_tpu.core.config import FusionConfig, VideoEncoderConfig
+    from egovlpv2_tpu.models.video import SpaceTimeBlock
+
+    f, d, heads = 16, 768, 12
+    cfg = VideoEncoderConfig(img_size=224, patch_size=16, embed_dim=d,
+                             depth=1, num_heads=heads, num_frames=f)
+    fus = FusionConfig(num_fuse_block=1, dim_video=d, dim_text=d)
+    s = 1 + f * 196
+    x = jnp.zeros((4, s, d), jnp.bfloat16)
+    blk = SpaceTimeBlock(cfg, fus, fused=False, attn_impl="pallas",
+                         dtype=jnp.bfloat16)
+    params = jax.eval_shape(lambda: blk.init(jax.random.PRNGKey(0), x, f))
+
+    def loss(p, x):
+        return jnp.sum(blk.apply(p, x, f).astype(jnp.float32))
+
+    p0 = blk.init(jax.random.PRNGKey(0), x, f)
+    del params
+    for name, fn in (("fwd", lambda p, x: loss(p, x)),
+                     ("bwd", jax.grad(loss, argnums=1))):
+        t0 = time.time()
+        jax.jit(fn).lower(p0, x).compile()
+        print(json.dumps({"check": f"hoist_{name}", "ok": True,
+                          "secs": round(time.time() - t0, 1)}), flush=True)
 
 
 def _worker_allh():
@@ -95,6 +129,9 @@ def main():
         return 0
     if "--worker-allh" in sys.argv:
         _worker_allh()
+        return 0
+    if "--worker-hoist" in sys.argv:
+        _worker_hoist()
         return 0
     results = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_preflight.jsonl"
     filt = sys.argv[2] if len(sys.argv) > 2 else ""

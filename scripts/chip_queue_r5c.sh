@@ -19,6 +19,15 @@ run() { # run <tag> <timeout_s> <cmd...>
   echo "--- $tag exit=$rc ---" | tee -a "$RESULTS.log"
 }
 
+# hoisted patch-major permutes (EGOVLP_PM_HOIST): the r5b PM profile shows
+# ~50 ms/step of copy/slice/reshape growth vs dense at 16f; permuting the
+# 768-wide x instead of the 2304-wide qkv halves the permuted bytes.
+python scripts/chip_preflight.py "$RESULTS" pm_hoist || echo "PREFLIGHT FAILURES (see $RESULTS)"
+run hoist_egomcq_16f 3600 env EGOVLP_PM_HOIST=1 python scripts/bench_eval.py egomcq_16f
+run hoist_egomcq_16f 1800 env EGOVLP_PM_HOIST=1 python scripts/bench_eval.py egomcq_16f
+run hoist_ft32 7200 env EGOVLP_PM_HOIST=1 python scripts/bench_eval.py ft_charades_32f
+run hoist_ft32 3600 env EGOVLP_PM_HOIST=1 python scripts/bench_eval.py ft_charades_32f
+
 run feed_depth4 3600 env EGOVLP_FEED_DEPTH=4 python scripts/bench_eval.py pretrain_realdata
 run feed_d2_w10 3600 env EGOVLP_FEED_DEPTH=2 EGOVLP_FEED_WORKERS=10 python scripts/bench_eval.py pretrain_realdata
 

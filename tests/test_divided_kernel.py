@@ -381,3 +381,82 @@ def test_space_cls_allh_forward_and_gradients(mode, monkeypatch):
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pm_rows_hoisted_layout_contract(monkeypatch):
+    """EGOVLP_PM_HOIST: `divided_attention(pm_rows=True)` consumes and
+    returns PATCH-MAJOR rows. Hoisted kernel == permute-inside kernel ==
+    XLA, and the fallback (pm_rows on a path that cannot consume it, e.g.
+    impl='xla') round-trips through frame-major correctly."""
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_PM", True)
+    b, f, n, h, dh = 1, 16, 150, 2, 64
+    s = 1 + f * n
+    rs = np.random.RandomState(29)
+    qkv = _qkv(rs, b, s, h, dh)
+    scale = dh ** -0.5
+
+    ref = divided_attention(qkv, scale=scale, axis="time", num_frames=f,
+                            impl="xla")
+
+    flat = qkv.reshape(b, s, 3 * h * dh)
+    pm = divided._to_patch_major(flat, f).reshape(b, s, 3, h, dh)
+    with pltpu.force_tpu_interpret_mode():
+        out_pm = divided_attention(pm, scale=scale, axis="time",
+                                   num_frames=f, impl="pallas", pm_rows=True)
+    got = divided._from_patch_major(
+        out_pm.reshape(b, s, h * dh), f).reshape(b, s, h, dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # fallback: same contract via the XLA path
+    out_pm_x = divided_attention(pm, scale=scale, axis="time", num_frames=f,
+                                 impl="xla", pm_rows=True)
+    got_x = divided._from_patch_major(
+        out_pm_x.reshape(b, s, h * dh), f).reshape(b, s, h, dh)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pm_hoist_block_parity_and_grads(monkeypatch):
+    """SpaceTimeBlock with EGOVLP_PM_HOIST on (pallas, interpret mode)
+    matches the un-hoisted XLA block at a patch-major-regime shape,
+    forward AND input gradients (the hoisted permutes are differentiated
+    by JAX outside the custom VJP)."""
+    from egovlpv2_tpu.core.config import FusionConfig, VideoEncoderConfig
+    from egovlpv2_tpu.models.video import SpaceTimeBlock
+    from egovlpv2_tpu.ops import divided
+
+    monkeypatch.setattr(divided, "_TIME_PM", True)
+    f, n, d, heads = 16, 98, 128, 2  # S = 1569 > _PACKED_MAX_S; n | win
+    cfg = VideoEncoderConfig(img_size=224, patch_size=16, embed_dim=d,
+                             depth=1, num_heads=heads, num_frames=f)
+    fus = FusionConfig(num_fuse_block=1, dim_video=d, dim_text=d)
+    rs = np.random.RandomState(31)
+    s = 1 + f * n
+    assert divided._time_pm("time", s, f)
+    x = jnp.asarray(rs.randn(1, s, d), jnp.float32)
+    ct = jnp.asarray(rs.randn(1, s, d), jnp.float32)
+
+    blk_x = SpaceTimeBlock(cfg, fus, fused=False, attn_impl="xla")
+    params = blk_x.init(jax.random.PRNGKey(0), x, f)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * np.random.RandomState(3).randn(*p.shape).astype(
+            np.float32), params)
+
+    def loss(x, blk):
+        return jnp.sum(blk.apply({"params": params}, x, f) * ct)
+
+    ref = blk_x.apply({"params": params}, x, f)
+    ref_g = jax.grad(lambda q: loss(q, blk_x))(x)
+
+    monkeypatch.setattr(divided, "_PM_HOIST", True)
+    blk_p = SpaceTimeBlock(cfg, fus, fused=False, attn_impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        got = blk_p.apply({"params": params}, x, f)
+        got_g = jax.grad(lambda q: loss(q, blk_p))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=3e-4, atol=3e-4)
