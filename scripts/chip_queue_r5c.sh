@@ -19,6 +19,15 @@ run() { # run <tag> <timeout_s> <cmd...>
   echo "--- $tag exit=$rc ---" | tee -a "$RESULTS.log"
 }
 
+# LN-stat reduction probes: is the 134 ms convert bucket VPU lane-reduce
+# cost that an MXU ones-matmul removes?
+run lnstats_probes 3600 python scripts/microbench_lnstats.py
+
+# window-size re-measures: the r5b 1800s timeouts cut the fresh eval-step
+# compiles; the persistent cache makes these re-runs fast
+run timepm_w224_16f 5400 env EGOVLP_TIME_PM_WIN=224 python scripts/bench_eval.py egomcq_16f
+run timepm_w448_16f 5400 env EGOVLP_TIME_PM_WIN=448 python scripts/bench_eval.py egomcq_16f
+
 # hoisted patch-major permutes (EGOVLP_PM_HOIST): the r5b PM profile shows
 # ~50 ms/step of copy/slice/reshape growth vs dense at 16f; permuting the
 # 768-wide x instead of the 2304-wide qkv halves the permuted bytes.
