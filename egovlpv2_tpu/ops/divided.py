@@ -145,9 +145,11 @@ def _space_fb(axis: str, s: int) -> bool:
 # work with M=8 / K=8 matmuls (~6% MXU fill); expressing row 0's per-head
 # logits as a segmented lane reduce of `kfull * q0` (one block-ones dot —
 # the `_time_fp_attend_mxu` trick) runs the whole pass once at full lane
-# width instead of per head. Default OFF until the chip step bench confirms
-# (rule of two) — flip via EGOVLP_SPACE_CLS_ALLH.
-_SPACE_CLS_ALLH = _os.environ.get("EGOVLP_SPACE_CLS_ALLH", "0") == "1"
+# width instead of per head. DEFAULT ON since round 5: kernel microbench
+# 1.472 vs 1.529 ms fwd+bwd at the pretrain space shape, step bench
+# 53.697/53.669 vs 53.544 clips/s/chip (rule of two, docs/CHIP_QUEUE_r05
+# allh_bench rows) — small but consistent both levels.
+_SPACE_CLS_ALLH = _os.environ.get("EGOVLP_SPACE_CLS_ALLH", "1") == "1"
 
 
 # Long-sequence packed route (S > _PACKED_MAX_S, i.e. 16/32-frame shapes):

@@ -148,6 +148,41 @@ def _ln_xla(x, scale, bias, eps):
     return y.astype(x.dtype)
 
 
+def _ln_mxu(x, scale, bias, eps):
+    """LN with the lane-dimension stat reduces expressed as MXU ones-dots.
+
+    The r5b 16f-eval profile puts `convert_reduce_fusion` at 134.8 ms/step
+    — XLA lowers flax's f32 mean/E[x^2] lane reduces as VPU shuffle trees,
+    ~15x off the traffic floor at [4, 3137, 768]. The same reduction as a
+    [rows, D] x [D, 8] ones-matmul rides the MXU at memory bandwidth:
+    `scripts/microbench_lnstats.py` measured ln_mxu at noise level vs
+    0.046 ms/call for `_ln_xla` at that shape (chained-loop timing,
+    docs/CHIP_QUEUE_r05 lnstats_probes rows). Numerics: s1 accumulates the
+    raw bf16 x exactly in f32 (MXU-native f32 accumulation); s2 is the f32
+    xf*xf dotted with f32 ones — both differ from the lane reduce only in
+    association order. Env-gated off until the end-to-end step bench
+    confirms twice (the round-2..4 fused-LN rule: microbench wins have
+    twice died to fusion-barrier effects at step level).
+    """
+    d = x.shape[-1]
+    nd = x.ndim
+    # column 0 carries the sum; 8 lanes is the minimal MXU-aligned width
+    ones = jnp.zeros((d, 8), x.dtype).at[:, 0].set(1)
+    xf = x.astype(jnp.float32)
+    s1 = jax.lax.dot_general(
+        x, ones, (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[..., :1]
+    s2 = jax.lax.dot_general(
+        xf * xf, ones.astype(jnp.float32), (((nd - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[..., :1]
+    inv_d = jnp.float32(1.0 / d)
+    mean = s1 * inv_d
+    var = jnp.maximum(s2 * inv_d - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _ln_pallas(x, scale, bias, eps):
     r = int(np.prod(x.shape[:-1]))
@@ -172,6 +207,7 @@ def _ln_pallas_bwd(eps, res, g):
 _ln_pallas.defvjp(_ln_pallas_fwd, _ln_pallas_bwd)
 
 _LN_IMPL = _os.environ.get("EGOVLP_LN_IMPL", "auto")
+_LN_STATS_MXU = _os.environ.get("EGOVLP_LN_STATS_MXU", "0") == "1"
 
 
 def _use_pallas(d: int, impl: str) -> bool:
@@ -192,6 +228,8 @@ def layernorm(x, scale, bias, *, eps: float = 1e-5, impl: str = "auto"):
     """LayerNorm over the last axis; flax-equivalent numerics."""
     if _use_pallas(x.shape[-1], impl):
         return _ln_pallas(x, scale, bias, eps)
+    if _LN_STATS_MXU and x.shape[-1] % 128 == 0:
+        return _ln_mxu(x, scale, bias, eps)
     return _ln_xla(x, scale, bias, eps)
 
 

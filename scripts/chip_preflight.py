@@ -37,6 +37,12 @@ CHECKS = [
      {"EGOVLP_SPACE_CLS_ALLH": "1", "EGOVLP_TIME_PM": "1"}),
     ("pm_hoist", [sys.executable, "scripts/chip_preflight.py",
                   "--worker-hoist"], {"EGOVLP_PM_HOIST": "1"}),
+    ("ln_mxu", [sys.executable, "scripts/chip_preflight.py",
+                "--worker-ln", "--mxu"], {"EGOVLP_LN_STATS_MXU": "1"}),
+    ("timepm_f32w224", [sys.executable, "scripts/repro_timepm.py",
+                        "f32w224", "both", "--compile-only"], {}),
+    ("timepm_f32w448", [sys.executable, "scripts/repro_timepm.py",
+                        "f32w448", "both", "--compile-only"], {}),
 ]
 
 
@@ -100,26 +106,29 @@ def _worker_allh():
 
 
 def _worker_ln():
-    """Compile the Pallas LN fwd+bwd at the 16f eval shape."""
+    """Compile the Pallas LN (or, --mxu, the MXU-stats XLA LN routed by
+    EGOVLP_LN_STATS_MXU=1) fwd+bwd at the 16f eval shape."""
     sys.path.insert(0, ".")
     import jax
     import jax.numpy as jnp
     from egovlpv2_tpu.ops.layernorm import layernorm
 
+    impl = "auto" if "--mxu" in sys.argv else "pallas"
     x = jnp.zeros((4, 3137, 768), jnp.bfloat16)
     sc = jnp.ones((768,), jnp.float32)
     bi = jnp.zeros((768,), jnp.float32)
 
     def fwd(x, sc, bi):
-        return layernorm(x, sc, bi, impl="pallas")
+        return layernorm(x, sc, bi, impl=impl)
 
     def loss(x, sc, bi):
         return jnp.sum(fwd(x, sc, bi).astype(jnp.float32))
 
+    pfx = "lnmxu" if impl == "auto" else "ln"
     for name, fn in (("fwd", fwd), ("bwd", jax.grad(loss, argnums=(0, 1, 2)))):
         t0 = time.time()
         jax.jit(fn).lower(x, sc, bi).compile()
-        print(json.dumps({"check": f"ln_{name}", "ok": True,
+        print(json.dumps({"check": f"{pfx}_{name}", "ok": True,
                           "secs": round(time.time() - t0, 1)}), flush=True)
 
 

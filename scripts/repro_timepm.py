@@ -42,6 +42,7 @@ VARIANTS = {
     "win224": dict(F=16, n=196, win=224),
     "win448": dict(F=16, n=196, win=448),
     "f32w224": dict(F=32, n=196, win=224),
+    "f32w448": dict(F=32, n=196, win=448),
     "zerobias": dict(F=16, n=196, zerobias=True),
     "hp1": dict(F=16, n=196, hp1=True),
     "win16": dict(F=16, n=196, win=16),

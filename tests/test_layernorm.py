@@ -72,6 +72,38 @@ def test_gradients_match_reference(rows):
                                    rtol=2e-5, atol=2e-5, err_msg=name)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_mxu_stats_matches_xla(dtype):
+    """EGOVLP_LN_STATS_MXU: stats via [rows,D]x[D,8] ones-dots must match
+    the lane-reduce reference (forward AND gradients) — only the reduce's
+    association order differs."""
+    rs = np.random.RandomState(4)
+    d = 256
+    x = jnp.asarray(rs.randn(6, 37, d), dtype)
+    scale = jnp.asarray(1.0 + 0.1 * rs.randn(d), jnp.float32)
+    bias = jnp.asarray(0.1 * rs.randn(d), jnp.float32)
+    w = jnp.asarray(rs.randn(6, 37, d), jnp.float32)
+
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(L._ln_mxu(x, scale, bias, 1e-5), np.float32),
+        np.asarray(_ref_ln(x, scale, bias, 1e-5), np.float32),
+        rtol=tol, atol=tol)
+
+    def loss(fn, x, s, b):
+        return jnp.sum(fn(x, s, b, 1e-5).astype(jnp.float32) * w)
+
+    ref = jax.grad(lambda *a: loss(L._ln_xla, *a), argnums=(0, 1, 2))(
+        x, scale, bias)
+    got = jax.grad(lambda *a: loss(L._ln_mxu, *a), argnums=(0, 1, 2))(
+        x, scale, bias)
+    gtol = 2e-5 if dtype == jnp.float32 else 5e-2
+    for g, r, name in zip(got, ref, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=gtol, atol=gtol, err_msg=name)
+
+
 def test_module_is_dropin_for_nn_layernorm():
     """Same param names/shapes as nn.LayerNorm; identical output on the
     XLA path (what CPU/tests use) — checkpoints and the torch importer
