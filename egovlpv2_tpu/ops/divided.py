@@ -245,8 +245,10 @@ def _from_patch_major(x: jax.Array, f: int) -> jax.Array:
 # permuted bytes (the r5b PM profile shows ~50 ms/step of copy/slice/
 # reshape growth vs the dense baseline at 16f). models/video.py applies it
 # when this flag is on and `pm_rows=True` reaches `divided_attention`.
-# Default OFF until the step bench confirms (rule of two).
-_PM_HOIST = _os.environ.get("EGOVLP_PM_HOIST", "0") == "1"
+# DEFAULT ON since round 5 — rule of two at both production shapes:
+# egomcq_16f 437.4/439.2 ms (vs 511.4/512.7 without), ft_charades_32f
+# 573.0/586.2 ms (vs 621.2/632.2) — docs/CHIP_QUEUE_r05 hoist_* rows.
+_PM_HOIST = _os.environ.get("EGOVLP_PM_HOIST", "1") == "1"
 
 
 def _time_fp_attend(q_slabs, k_slabs, v_slabs, k0, v0, scale):
