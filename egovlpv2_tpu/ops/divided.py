@@ -188,21 +188,33 @@ _LONG_BUDGET = 5_000_000
 # production shapes (egomcq_16f 511.4/512.7 ms vs 590.8 dense;
 # ft_charades_32f 632.2/621.2 ms vs 942.4/962.7 — docs/CHIP_QUEUE_r05).
 _TIME_PM = _os.environ.get("EGOVLP_TIME_PM", "1") == "1"
-_TIME_PM_WIN = int(_os.environ.get("EGOVLP_TIME_PM_WIN", "128"))
+# Window cap: 0 = auto (per-F). The on-chip sweep found the optimum is
+# F-dependent: at F=16 the 224-row window beat 112 by ~26 ms/step
+# (timepm_w224_16f 485.2 vs 511.4/512.7) while at F=32 the 224-row window
+# LOST to 128 by ~25 ms (timepm_w224_ft32 604.2 vs 573.0/586.2, both with
+# the permute hoist) — wider windows trade wasted key FLOPs (win/F) for
+# fewer grid programs, and the trade flips with the group size.
+_TIME_PM_WIN = int(_os.environ.get("EGOVLP_TIME_PM_WIN", "0"))
+
+
+def _pm_win_cap(f: int) -> int:
+    if _TIME_PM_WIN > 0:
+        return _TIME_PM_WIN
+    return 224 if f <= 16 else 128
 
 
 def _pm_window(s: int, f: int):
-    """Largest window <= _TIME_PM_WIN covering whole F-sized groups AND
+    """Largest window <= the per-F cap covering whole F-sized groups AND
     dividing the s-1 patch rows EXACTLY, or None. A partial last window
     crashes the Mosaic compiler at these shapes (`Check failed:
     limits[i] <= dim(i) (8 vs. 1)`, array.h:480 SIGABRT — the round-4 r4h
     queue failure; bisected compile-only in round 5: every exact-window
     config compiles, every partial-window one aborts, bias content
-    irrelevant). Exact divisors also delete the waste: win/F = 7x at F=16
-    (win=112), 4x at F=32 (win=128) vs the dense path's ~S/(F+1) ~180x."""
+    irrelevant). Exact divisors also delete the waste: win/F = 14x at F=16
+    (win=224), 4x at F=32 (win=128) vs the dense path's ~S/(F+1) ~180x."""
     n = (s - 1) // f
     best = None
-    for w in range(1, min(n, _TIME_PM_WIN // f) + 1):
+    for w in range(1, min(n, _pm_win_cap(f) // f) + 1):
         if n % w == 0:
             best = f * w
     return best

@@ -71,9 +71,11 @@ def test_runbook_egomcq_kernel_regime():
 
     s = 1 + 16 * 196
     assert divided._time_pm("time", s, 16)
-    assert divided._pm_window(s, 16) == 112  # exact divisor of 3136
+    # auto window cap: 224 at F<=16 (timepm_w224_16f 485.2 ms vs 511.4 @112)
+    assert divided._pm_window(s, 16) == 224  # exact divisor of 3136
     assert divided._space_fb("space", s)     # frame-block space kernels
-    # the 32-frame fine-tune shape rides the same kernel
+    # the 32-frame fine-tune shape rides the same kernel; at F=32 the
+    # 224-row window LOSES (604.2 vs 573.0/586.2) so the cap stays 128
     s32 = 1 + 32 * 196
     assert divided._time_pm("time", s32, 32)
     assert divided._pm_window(s32, 32) == 128
